@@ -1,0 +1,47 @@
+"""Farthest point sampling on TPU.
+
+Replaces the reference's CUDA kernel (``ops/fps/src/sampling_gpu.cu:25-140``)
+with a ``lax.fori_loop`` whose per-iteration work is fully vectorized over the
+point dimension: maintain the running min-squared-distance vector, take the
+argmax, append.  The running vector lives in registers/VMEM across the fused
+loop body; the loop is ``vmap``-able over a frame batch so the 99 sequential
+steps amortize across frames.
+
+Semantics matched to the CUDA op:
+  * always seeds at index 0 (``sampling_gpu.cu:43-46``);
+  * the selection scan uses strict ``>`` so the **lowest** index wins ties —
+    ``jnp.argmax`` picks the first occurrence, same winner;
+  * distances are squared Euclidean, initial "temp" is +inf (1e10).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
+def furthest_point_sample(points: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """Select ``num_samples`` indices from an (N, 3) cloud by iterative FPS.
+
+    Points flagged invalid should simply be exact duplicates (e.g. zeros) —
+    like the reference GPU path, which FPS-samples the zero-masked full pixel
+    grid (``utils/segment_utils.py:139-141``): after any zero point is picked
+    once, all other zeros have distance 0 and are never picked again.
+    """
+    n = points.shape[0]
+
+    def body(i, state):
+        min_d2, idxs, last = state
+        d2 = jnp.sum((points - points[last]) ** 2, axis=-1)
+        min_d2 = jnp.minimum(min_d2, d2)
+        nxt = jnp.argmax(min_d2).astype(jnp.int32)
+        idxs = idxs.at[i].set(nxt)
+        return min_d2, idxs, nxt
+
+    idxs0 = jnp.zeros((num_samples,), dtype=jnp.int32)
+    min_d2 = jnp.full((n,), 1e10, dtype=jnp.float32)
+    _, idxs, _ = jax.lax.fori_loop(1, num_samples, body, (min_d2, idxs0, jnp.int32(0)))
+    return idxs

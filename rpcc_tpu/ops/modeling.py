@@ -1,0 +1,124 @@
+"""Per-cluster modeling: point (mean range) and plane (RANSAC) models.
+
+Point modeling replaces the C++ ``segment_utils_cpp.point_modeling``
+(``cpp_modules.cpp:471-518``) with one ``segment_sum`` — per-cluster mean
+range with ids 0 (ground) and 1 (zero pixels) forced to 0.  Model layout is
+the codec's (num_models, 4) table: ``[0, 0, 0, mean_range]`` for point
+models, ``[a, b, c, d]`` for planes (``utils/segment_utils.py:177-181``).
+
+Plane modeling replaces the per-cluster python loop + unseeded o3d RANSAC
+(``utils/segment_utils.py:187-216``): every cluster is fitted *in parallel*
+from a fixed-size random sample of its pixels, gathered through the
+cluster-sorted permutation (contiguous ranges per cluster), with the
+reference's fallbacks — clusters under 30 pixels or planes too oblique to the
+scan rays keep the point model (``:203-204,212-216``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rpcc_tpu.ops.ransac import fit_plane_weighted, point_plane_distance
+
+MIN_PLANE_POINTS = 30  # utils/segment_utils.py:203
+CLUSTER_RANSAC_N = 4  # :208
+CLUSTER_RANSAC_ITERS = 10  # :209
+CLUSTER_RANSAC_THRESHOLD = 0.1  # o3d default used at :75-82
+PLANE_SAMPLE_CAPACITY = 1024  # fixed per-cluster sample for fitting/validation
+
+
+def point_models(
+    range_flat: jnp.ndarray, seg_flat: jnp.ndarray, num_models: int
+) -> jnp.ndarray:
+    """(num_models, 4) table of [0,0,0,mean_range]; rows 0 and 1 are zero.
+
+    Row 0 is a placeholder the encoder overwrites with the ground plane
+    (``tools/compress.py:102``).  Empty clusters get 0 instead of the
+    reference's accidental NaN (0-count division, ``cpp_modules.cpp:514``).
+    """
+    seg = seg_flat.astype(jnp.int32)
+    ones = jnp.ones_like(range_flat)
+    sums = jax.ops.segment_sum(range_flat, seg, num_segments=num_models)
+    cnts = jax.ops.segment_sum(ones, seg, num_segments=num_models)
+    mean = jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1.0), 0.0)
+    mean = mean.at[0].set(0.0).at[1].set(0.0)
+    zeros3 = jnp.zeros((num_models, 3), dtype=range_flat.dtype)
+    return jnp.concatenate([zeros3, mean[:, None]], axis=-1)
+
+
+def _gather_cluster_sample(
+    perm: jnp.ndarray,  # (HW,) cluster-sorted pixel permutation
+    starts: jnp.ndarray,  # (num_models,) start offset of each cluster in perm
+    counts: jnp.ndarray,  # (num_models,) pixel count of each cluster
+    key: jax.Array,
+    num_models: int,
+) -> jnp.ndarray:
+    """(num_models, S) pixel indices: S random draws from each cluster's range."""
+    u = jax.random.uniform(key, (num_models, PLANE_SAMPLE_CAPACITY))
+    cnt = jnp.maximum(counts, 1)[:, None]
+    offs = jnp.minimum((u * cnt).astype(jnp.int32), cnt - 1)
+    return perm[starts[:, None] + offs]
+
+
+def plane_models(
+    points_flat: jnp.ndarray,  # (HW, 3)
+    range_flat: jnp.ndarray,  # (HW,)
+    seg_flat: jnp.ndarray,  # (HW,) cluster ids
+    transform_flat: jnp.ndarray,  # (HW, 3) unit rays
+    perm: jnp.ndarray,  # (HW,) stable cluster-sorted permutation (incl. id 1)
+    counts: jnp.ndarray,  # (num_models,) per-cluster pixel counts
+    key: jax.Array,
+    num_models: int,
+    angle_threshold_deg: float,
+) -> jnp.ndarray:
+    """(num_models, 4) plane-or-point model table (rows 0,1 zeroed).
+
+    For each cluster id >= 2: RANSAC-fit a plane from a fixed random sample of
+    its pixels; keep it only if the cluster has >= 30 pixels and the max angle
+    between any scan ray and the plane normal stays under the threshold
+    (``plane_angle_validation``, ``utils/segment_utils.py:84-93``); otherwise
+    fall back to the point model (mean range).
+    """
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts.astype(jnp.int32))[:-1]]
+    )
+    k_samp, k_hyp = jax.random.split(key)
+    samp_idx = _gather_cluster_sample(perm, starts, counts, k_samp, num_models)
+    samp_pts = points_flat[samp_idx]  # (C, S, 3)
+    samp_rays = transform_flat[samp_idx]  # (C, S, 3)
+    s_valid = (
+        jnp.arange(PLANE_SAMPLE_CAPACITY)[None, :] < jnp.minimum(counts, PLANE_SAMPLE_CAPACITY)[:, None]
+    )
+
+    def fit_one(pts, valid, k):
+        # Hypotheses: CLUSTER_RANSAC_ITERS draws of CLUSTER_RANSAC_N sample rows.
+        nv = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+        u = jax.random.uniform(k, (CLUSTER_RANSAC_ITERS, CLUSTER_RANSAC_N))
+        hyp_idx = jnp.minimum((u * nv).astype(jnp.int32), nv - 1)
+        hyp_pts = pts[hyp_idx]
+        ones = jnp.ones((CLUSTER_RANSAC_N,), pts.dtype)
+        planes = jax.vmap(lambda p: fit_plane_weighted(p, ones))(hyp_pts)
+        dists = point_plane_distance(pts[None, :, :], planes[:, None, :])
+        inl = (dists < CLUSTER_RANSAC_THRESHOLD) & valid[None, :]
+        cnts = jnp.sum(inl.astype(jnp.int32), axis=-1)
+        best = jnp.argmax(cnts)
+        refit = fit_plane_weighted(pts, inl[best].astype(pts.dtype))
+        return jnp.where(cnts[best] >= 3, refit, planes[best])
+
+    keys = jax.random.split(k_hyp, num_models)
+    planes = jax.vmap(fit_one)(samp_pts, s_valid, keys)  # (C, 4)
+
+    # Scan-angle validation over the cluster sample (reference checks all
+    # cluster pixels; the fixed random sample is the fixed-shape equivalent).
+    cosang = jnp.abs(jnp.sum(planes[:, None, :3] * samp_rays, axis=-1))
+    cosang = cosang / jnp.maximum(jnp.linalg.norm(planes[:, :3], axis=-1), 1e-12)[:, None]
+    alpha = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
+    alpha = jnp.where(s_valid, alpha, 0.0)
+    max_alpha = jnp.max(alpha, axis=-1)
+    angle_ok = max_alpha <= jnp.pi * (angle_threshold_deg / 180.0)
+
+    pmod = point_models(range_flat, seg_flat, num_models)
+    use_plane = angle_ok & (counts >= MIN_PLANE_POINTS)
+    use_plane = use_plane.at[0].set(False).at[1].set(False)
+    return jnp.where(use_plane[:, None], planes, pmod)

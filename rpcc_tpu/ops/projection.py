@@ -1,0 +1,108 @@
+"""Spherical projection: point cloud <-> range image.
+
+TPU-native replacement for the reference's C++ projection kernel
+(``cpp_modules.cpp:427-467``, exposed as
+``dataset_utils_cpp.point_cloud_to_range_image_even``) and the trig-table
+builder (``dataset/transformer.py:41-54``).
+
+Design:
+  * The forward projection is a **scatter-min** over ``row * W + col`` — the
+    data-parallel equivalent of the reference's sequential keep-nearest loop
+    (``cpp_modules.cpp:459-460``: keep the smaller depth; first writer wins on
+    exact ties, which scatter-min reproduces since equal values are
+    indistinguishable).
+  * Padding points (``depth == 0``) scatter ``+inf`` so fixed-shape batches of
+    variable-size clouds are safe; empty pixels decode to depth 0.
+  * The inverse is one broadcast multiply with the precomputed unit-ray
+    ``transform_map`` (``dataset/transformer.py:94-101``).
+  * Angle binning uses C ``round`` semantics (round half away from zero) and
+    the same 2*3.14159265 wrap constant as the C++ kernel so pixel assignment
+    agrees bit-for-bit in float32.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from rpcc_tpu.config import LidarConfig
+from rpcc_tpu.ops.rounding import round_half_away
+
+# The C++ kernel wraps azimuth with the literal 2*3.14159265
+# (cpp_modules.cpp:449); keep the same constant for binning parity.
+_TWO_PI_REF = 2.0 * 3.14159265
+
+
+def build_transform_map(lidar: LidarConfig) -> np.ndarray:
+    """Precompute the (H, W, 3) unit-ray table: ``point = depth * ray``.
+
+    Row h's altitude is evenly spaced over the vertical FOV (or taken from the
+    per-channel table for uneven LiDARs); column w's azimuth spans the
+    horizontal FOV.  Computed in float64 then cast, matching the reference.
+    """
+    H, W = lidar.height, lidar.width
+    if lidar.even_dist:
+        vfov = lidar.vertical_max - lidar.vertical_min
+        altitude = vfov * (np.arange(H) / (H - 1)) + lidar.vertical_min
+    else:
+        altitude = np.radians(np.asarray(lidar.vertical_angles_deg, dtype=np.float64))
+        assert altitude.shape[0] == H, "channel table must have H entries"
+    azimuth = lidar.horizontal_fov * (np.arange(W) / W)
+    cos_alt = np.cos(altitude)[:, None]
+    tm = np.stack(
+        [
+            cos_alt * np.cos(azimuth)[None, :],
+            cos_alt * np.sin(azimuth)[None, :],
+            np.broadcast_to(np.sin(altitude)[:, None], (H, W)),
+        ],
+        axis=-1,
+    )
+    return tm.astype(np.float32)
+
+
+def project_points(
+    points: jnp.ndarray,
+    lidar: LidarConfig,
+    vertical_angles: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Project an (N, 3) float32 cloud to an (H, W) range image.
+
+    Invalid/padding points must have ``depth == 0`` (e.g. all-zero rows); they
+    never win the scatter-min.  For uneven-channel LiDARs pass the per-row
+    angle table (radians) as ``vertical_angles``; rows are then assigned by
+    nearest channel angle (``dataset/transformer.py:82-83``) and columns by
+    round-half-even, mirroring the reference's numpy path.
+    """
+    H, W = lidar.height, lidar.width
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    depth = jnp.sqrt(x * x + y * y + z * z)
+    az = jnp.arctan2(y, x)
+    az = jnp.where(az < 0, az + _TWO_PI_REF, az)
+
+    if lidar.even_dist:
+        col = round_half_away(az / lidar.horizontal_fov * W).astype(jnp.int32) % W
+        v_ang = jnp.arctan2(z, jnp.sqrt(x * x + y * y))
+        vres = (lidar.vertical_max - lidar.vertical_min) / (H - 1)
+        row = round_half_away((v_ang - lidar.vertical_min) / vres).astype(jnp.int32)
+        row = jnp.clip(row, 0, H - 1)
+    else:
+        # np.rint (half-even) + nearest-channel row (transformer.py:73-83).
+        col = jnp.round(az / lidar.horizontal_fov * W).astype(jnp.int32) % W
+        v_ang = jnp.arctan2(z, jnp.sqrt(x * x + y * y))
+        diff = jnp.abs(vertical_angles[None, :] - v_ang[:, None])  # (N, H)
+        row = jnp.argmin(diff, axis=-1).astype(jnp.int32)
+
+    valid = depth > 0.0
+    flat_idx = row * W + col
+    scatter_val = jnp.where(valid, depth, jnp.inf)
+    ri = jnp.full((H * W,), jnp.inf, dtype=jnp.float32)
+    ri = ri.at[flat_idx].min(scatter_val, mode="drop")
+    ri = jnp.where(jnp.isinf(ri), 0.0, ri)
+    return ri.reshape(H, W)
+
+
+def range_image_to_points(range_image: jnp.ndarray, transform_map: jnp.ndarray) -> jnp.ndarray:
+    """(.., H, W) range image -> (.., H, W, 3) points: one broadcast multiply."""
+    return range_image[..., None] * transform_map
