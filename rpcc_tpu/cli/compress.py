@@ -1,0 +1,99 @@
+"""Single-frame compression CLI (reference ``tools/compress.py``).
+
+Usage:
+    python -m rpcc_tpu.cli.compress --input frame.bin --output frame.rpcc \
+        --lidar Velodyne64E [--accuracy 0.02 --eval ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from rpcc_tpu.cli.common import add_codec_args, config_from_args, lidar_from_args, print_args
+from rpcc_tpu.data.pointcloud_io import load_point_cloud
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    add_codec_args(parser)
+    args = parser.parse_args()
+    print_args(args)
+
+    cfg = config_from_args(args)
+    lidar = lidar_from_args(args)
+
+    from rpcc_tpu.models.pipeline import RPCCCodec  # after backend env vars
+
+    codec = RPCCCodec(lidar, cfg)
+
+    # Warm-up pass so compile time is excluded (reference warms the CUDA
+    # segmentation the same way, tools/compress.py:87-90).
+    points = load_point_cloud(args.input)
+    codec.compress(points)
+
+    t_init = time.time()
+    points = load_point_cloud(args.input)
+    t_load = time.time()
+    blob, fields, times = codec.compress(points)
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    t_save = time.time()
+
+    print("\nCompression finished.")
+    print("binary bitstream save in ", args.output)
+
+    print("\nTime Cost:")
+    print("    Load data: ", t_load - t_init)
+    print("    Device encode (segment+model+predict+quantize+contour): ", times["device_encode"])
+    print("    Field gather: ", times["gather_fields"])
+    print("    Basic compressor module (", cfg.basic_compressor, "): ", times["entropy"])
+    print("    Save binary file: ", times["framing"] + (t_save - t_load - sum(times.values())))
+    print("    Total time cost: ", t_save - t_init)
+    print("    Total time cost without loading data: ", t_save - t_load)
+
+    # BPP accounting matches the reference (nonzero projected points,
+    # tools/compress.py:152-155).
+    out = codec.encode_device(points)
+    ri = np.asarray(out.range_image)
+    point_num = int((ri > 0).sum())
+    compressed_bit_size = os.path.getsize(args.output) * 8
+    print("\nCompression Results: ")
+    print("    Compression ratio: ", (point_num * 32 * 3) / compressed_bit_size)
+    print("    BPP: ", compressed_bit_size / point_num)
+    print("\n")
+
+    if args.eval:
+        with open(args.output, "rb") as f:
+            blob = f.read()
+        pc_rec, ri_rec, _ = codec.decompress(blob)
+        range_dif = np.abs(ri_rec - ri)
+        max_depth_error = float(range_dif.max())
+        mean_depth_error = float(range_dif.mean())
+        bound = cfg.step + (0.0 if cfg.uniform else max(cfg.level_delta_acc))
+        if max_depth_error > bound + 1e-5:
+            raise AssertionError(
+                f"Reconstruction error {max_depth_error} exceeds bound {bound}"
+            )
+
+        from rpcc_tpu.metrics import calc_chamfer_distance, calc_point_to_point_plane_psnr
+
+        pc_grid = np.asarray(out.range_image)[..., None] * codec.transform_map
+        cd = calc_chamfer_distance(pc_grid.reshape(-1, 3), pc_rec.reshape(-1, 3), out=False)
+        p2p, p2pl = calc_point_to_point_plane_psnr(
+            pc_grid.reshape(-1, 3), pc_rec.reshape(-1, 3), out=False
+        )
+        print("\nReconstruction quality: ")
+        print("    Depth Error (mean): ", mean_depth_error)
+        print("    Depth Error (max): ", max_depth_error)
+        print("    Chamfer Distance (mean): ", cd["mean"])
+        print("    F1 score (threshold=0.02): ", cd["f_score"])
+        print("    Point-to-Point PSNR (r=59.7): ", p2p["psnr_mean"])
+        print("    Point-to-Plane PSNR (r=59.7): ", p2pl["psnr_mean"])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,31 @@
+"""KITTI dataset (Velodyne HDL-64E) + raw-txt preprocessing.
+
+Equivalent of reference ``dataset/datasets/kitti_dataset.py``: a thin
+DatasetTemplate plus a txt->bin converter for unsynced KITTI raw dumps.
+"""
+
+import concurrent.futures as futures
+import glob
+import os
+
+import numpy as np
+
+from rpcc_tpu.data.dataset import DatasetTemplate
+
+
+class KittiDataset(DatasetTemplate):
+    def preprocess_txt_to_bin(self, data_root: str, workers: int = 4) -> None:
+        """Convert slow-loading raw txt scans to float32 Nx4 .bin files."""
+        file_list = sorted(
+            glob.glob(os.path.join(data_root, "*/*/*/velodyne_points/data/*.txt"))
+        )
+
+        def save_txt_to_bin(file):
+            save_path = file.replace(
+                "/velodyne_points/data/", "/velodyne_points/data_bin/"
+            ).replace(".txt", ".bin")
+            os.makedirs(os.path.dirname(save_path), exist_ok=True)
+            np.loadtxt(file).astype(np.float32).tofile(save_path)
+
+        with futures.ThreadPoolExecutor(workers) as ex:
+            list(ex.map(save_txt_to_bin, file_list))

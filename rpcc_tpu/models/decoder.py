@@ -1,0 +1,65 @@
+"""The device-side decoder graph — exactly inverts the encoder.
+
+From the entropy-decoded arrays (contour bits, run values, residual stream,
+model table, salience) back to the reconstructed range image and point cloud,
+as one jitted program: recover the seg map with a parallel run-length fill,
+rebuild the cluster-sorted permutation (deterministic given the seg map),
+scatter the residual stream, intra-predict, add, back-project.
+
+Mirrors ``tools/decompress.py:87-112``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from rpcc_tpu.config import CodecConfig, LidarConfig
+from rpcc_tpu.ops.contour import recover_map
+from rpcc_tpu.ops.predict import intra_predict
+from rpcc_tpu.ops.projection import build_transform_map
+from rpcc_tpu.ops.quantize import cluster_sort, dequantize_stream
+
+
+class DecoderOutput(NamedTuple):
+    range_image: jnp.ndarray  # (H, W) f32
+    point_cloud: jnp.ndarray  # (H, W, 3) f32
+    seg_idx: jnp.ndarray  # (H, W) i32
+
+
+def make_decoder(lidar: LidarConfig, cfg: CodecConfig):
+    """Build ``decode(contour (H,W) u8, sequence (HW,) i32, stream (HW,) i32,
+    model_param (M,4) f32, salience (M,) i32|unused) -> DecoderOutput``.
+
+    ``sequence`` and ``stream`` are tail-padded to HW on host (padding values
+    are ignored: runs beyond seq_len are never indexed, stream tail maps to
+    the zero-pixel class).
+    """
+    tm = jnp.asarray(build_transform_map(lidar))
+    tm_flat = tm.reshape(-1, 3)
+    num_models = cfg.cluster_num + 2
+    level_acc = jnp.asarray(cfg.level_acc, dtype=jnp.float32)
+
+    def decode(
+        contour: jnp.ndarray,
+        sequence: jnp.ndarray,
+        stream: jnp.ndarray,
+        model_param: jnp.ndarray,
+        salience: Optional[jnp.ndarray] = None,
+    ) -> DecoderOutput:
+        seg = recover_map(contour.astype(jnp.int32), sequence)
+        seg_flat = seg.reshape(-1)
+        order = cluster_sort(seg_flat, num_models)
+        if cfg.uniform:
+            step = cfg.step
+        else:
+            step = level_acc[salience.astype(jnp.int32)[seg_flat]]
+        resid = dequantize_stream(stream.astype(jnp.int32), order, step)
+        pred = intra_predict(seg_flat, model_param, tm_flat)
+        ri = (pred + resid).reshape(seg.shape)
+        pc = ri[..., None] * tm
+        return DecoderOutput(ri, pc, seg)
+
+    return jax.jit(decode)

@@ -1,0 +1,138 @@
+"""The device-side encoder graph.
+
+One jit-compiled, fixed-shape program from a padded point cloud to every
+device-computable codec artifact: range image, segmentation, model table,
+cluster-ordered quantized residual stream, contour code (and salience levels
+in non-uniform mode).  This fuses the reference's per-frame chain of python/
+C++/CUDA calls (``tools/compress.py:93-131``) into a single XLA computation;
+only the byte-level entropy stage stays on host.
+
+The graph is ``vmap``-able over a frame batch and shardable over a device
+mesh (see :mod:`rpcc_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from rpcc_tpu.config import CodecConfig, LidarConfig
+from rpcc_tpu.ops.contour import extract_contour
+from rpcc_tpu.ops.features import extract_features_with_segment, salience_levels
+from rpcc_tpu.ops.modeling import plane_models, point_models
+from rpcc_tpu.ops.predict import intra_predict
+from rpcc_tpu.ops.projection import build_transform_map, project_points
+from rpcc_tpu.ops.quantize import cluster_sort, quantize_stream
+from rpcc_tpu.ops.segment import segment_range_image
+
+
+class EncoderOutput(NamedTuple):
+    range_image: jnp.ndarray  # (H, W) f32
+    seg_idx: jnp.ndarray  # (H, W) i32
+    model_param: jnp.ndarray  # (M, 4) f32; row 0 = ground plane
+    stream: jnp.ndarray  # (HW,) i16 quantized residuals, tail-padded
+    stream_len: jnp.ndarray  # () i32
+    contour: jnp.ndarray  # (H, W) u8
+    sequence: jnp.ndarray  # (HW,) i32 run values, tail-padded
+    seq_len: jnp.ndarray  # () i32
+    salience: Optional[jnp.ndarray]  # (M,) u8 or None (uniform)
+    key_point_map: Optional[jnp.ndarray]  # (H, W) i32 or None
+
+
+def make_encoder(lidar: LidarConfig, cfg: CodecConfig, donate: bool = False):
+    """Build the jitted ``encode(points (N,3) f32, seed u32) -> EncoderOutput``.
+
+    Static configuration (shapes, mode, thresholds) is closed over; ``seed``
+    drives the deterministic RANSAC/subsample PRNG.
+    """
+    tm = jnp.asarray(build_transform_map(lidar))  # (H, W, 3)
+    tm_flat = tm.reshape(-1, 3)
+    H, W = lidar.height, lidar.width
+    num_models = cfg.cluster_num + 2  # ground + zero-class + K clusters
+    v_angles = (
+        None
+        if lidar.even_dist
+        else jnp.asarray(
+            [a * jnp.pi / 180.0 for a in lidar.vertical_angles_deg], dtype=jnp.float32
+        )
+    )
+
+    def encode(points: jnp.ndarray, seed: jnp.ndarray) -> EncoderOutput:
+        key = jax.random.PRNGKey(seed)
+        k_seg, k_model = jax.random.split(key)
+
+        ri = project_points(points, lidar, v_angles)  # (H, W)
+        pc = ri[..., None] * tm  # (H, W, 3)
+
+        seg, ground_model, _ = segment_range_image(
+            pc, ri, tm, k_seg, cfg.ground_threshold, cfg.cluster_num
+        )
+        seg_flat = seg.reshape(-1)
+        ri_flat = ri.reshape(-1)
+
+        order = cluster_sort(seg_flat, num_models)
+
+        if cfg.modeling_method == "point":
+            models = point_models(ri_flat, seg_flat, num_models)
+        else:
+            models = plane_models(
+                pc.reshape(-1, 3),
+                ri_flat,
+                seg_flat,
+                tm_flat,
+                order.perm,
+                order.counts,
+                k_model,
+                num_models,
+                cfg.plane_angle_threshold,
+            )
+        model_param = models.at[0].set(ground_model)
+
+        pred = intra_predict(seg_flat, model_param, tm_flat)
+        residual = ri_flat - pred
+
+        salience = None
+        kp_map = None
+        if cfg.uniform:
+            stream32 = quantize_stream(residual, order, cfg.step)
+        else:
+            _, kp_map = extract_features_with_segment(
+                ri,
+                seg,
+                feature_region=cfg.feature_region,
+                segments=cfg.segments,
+                sharp_num=cfg.sharp_num,
+                less_sharp_num=cfg.less_sharp_num,
+                flat_num=cfg.flat_num,
+            )
+            salience = salience_levels(
+                kp_map.reshape(-1),
+                seg_flat,
+                order.counts,
+                num_models,
+                level_kp_num=cfg.level_key_point_num,
+                ground_level=cfg.ground_salience_level,
+            )
+            level_acc = jnp.asarray(cfg.level_acc, dtype=jnp.float32)
+            step_flat = level_acc[salience[seg_flat]]
+            stream32 = quantize_stream(residual, order, step_flat)
+            salience = salience.astype(jnp.uint8)
+
+        code = extract_contour(seg)
+        return EncoderOutput(
+            range_image=ri,
+            seg_idx=seg,
+            model_param=model_param,
+            stream=stream32.astype(jnp.int16),  # reference casts int16 (compress_utils.py:142)
+            stream_len=order.stream_len,
+            contour=code.contour.astype(jnp.uint8),
+            sequence=code.sequence,
+            seq_len=code.seq_len,
+            salience=salience,
+            key_point_map=kp_map,
+        )
+
+    return jax.jit(encode)
