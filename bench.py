@@ -1,0 +1,98 @@
+"""Benchmark: end-to-end encode throughput on KITTI 64E (BASELINE.json config 1).
+
+Measures frames/sec/chip for the full pipeline — device encode (projection,
+ground RANSAC, FPS segmentation, point modeling, intra-prediction, uniform
+quantization, contour coding) + host entropy (bzip2) + .rpcc framing — on the
+repo's real 122,320-point example frame at accuracy 0.02, batched.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "frames/s/chip", "vs_baseline": x}
+
+vs_baseline: the reference implementation runs single-digit fps end-to-end on
+its GPU-assisted path (BASELINE.md "single-digit-fps Python baseline"); we
+use 5 frames/s as the baseline denominator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BASELINE_FPS = 5.0
+EXAMPLE = "/root/reference/assets/example_data/example.bin"
+BATCH = 16
+BATCHES_TIMED = 4
+
+
+def main() -> None:
+    import jax
+
+    from rpcc_tpu.config import CodecConfig, LidarConfig
+    from rpcc_tpu.data import __lidar_cfg__
+    from rpcc_tpu.data.pointcloud_io import load_point_cloud
+    from rpcc_tpu.parallel import BatchEngine
+
+    lidar = LidarConfig.from_yaml(__lidar_cfg__["Velodyne64E"], name="Velodyne64E")
+    cfg = CodecConfig()  # uniform, point modeling, FPS, bzip2, accuracy 0.02
+
+    pc = load_point_cloud(EXAMPLE).astype(np.float32)
+    clouds = [pc] * BATCH
+
+    n_chips = max(1, len(jax.devices()))
+    engine = BatchEngine(lidar, cfg, batch_size=BATCH, workers=8)
+
+    # Warm-up: compile + first transfer excluded (reference does the same for
+    # CUDA init, tools/compress.py:87-90).
+    results = engine.encode_frames(clouds, seeds=range(BATCH))
+    blob0 = results[0][0]
+
+    # Throughput: double-buffered loop — dispatch batch i+1 before finalizing
+    # batch i so host entropy overlaps device compute.
+    t0 = time.perf_counter()
+    pending = engine.encode_batch_device(clouds, seeds=range(BATCH))
+    for i in range(1, BATCHES_TIMED):
+        nxt = engine.encode_batch_device(clouds, seeds=range(i * BATCH, (i + 1) * BATCH))
+        engine.finalize_encoded(*pending)
+        pending = nxt
+    engine.finalize_encoded(*pending)
+    dt = time.perf_counter() - t0
+    fps = BATCHES_TIMED * BATCH / dt / n_chips
+
+    # Quality guardrails on the timed config.
+    out = engine._encode_b(
+        _stack_one(pc), np.zeros((BATCH,), np.uint32), np.float32(cfg.step)
+    )
+    n_pts = int((np.asarray(out.range_image[0]) > 0).sum())
+    bpp = len(blob0) * 8 / n_pts
+
+    print(
+        json.dumps(
+            {
+                "metric": "kitti64e_e2e_encode_throughput_acc0.02_bzip2",
+                "value": round(fps, 3),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "bpp": round(bpp, 4),
+                "chips": n_chips,
+                "frames": BATCHES_TIMED * BATCH,
+            }
+        )
+    )
+
+
+def _stack_one(pc: np.ndarray) -> np.ndarray:
+    from rpcc_tpu.models.pipeline import pad_points
+
+    padded = pad_points(pc)
+    return padded[None].repeat(BATCH, axis=0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Batch compression over a datalist (reference ``tools/compress_datalist.py``).
+
+Frames are loaded by IO threads, encoded in device batches (sharded over the
+mesh when more than one chip is attached), entropy-coded on a host pool, and
+written mirroring the input paths under --output_dir with the .rpcc suffix.
+Device batch i+1 is dispatched before batch i's host work (double buffering).
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures as futures
+import os
+import time
+
+import numpy as np
+
+from rpcc_tpu.cli.common import add_codec_args, config_from_args, lidar_from_args, print_args
+
+
+def output_path_for(file_name: str, output_dir: str, suffix: str) -> str:
+    """Reference path mangling (tools/compress_datalist.py:136-141)."""
+    file_name = file_name.strip()
+    if file_name and file_name[0] == "/":
+        file_name = file_name[1:]
+    out = os.path.join(output_dir, file_name)
+    out = out.replace(out.split(".")[-1], suffix)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    return out
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    add_codec_args(parser, datalist=True)
+    args = parser.parse_args()
+    print_args(args)
+
+    cfg = config_from_args(args)
+    lidar = lidar_from_args(args)
+
+    import jax
+
+    from rpcc_tpu.data import build_dataset
+    from rpcc_tpu.data.pointcloud_io import load_point_cloud
+    from rpcc_tpu.parallel import BatchEngine, data_mesh
+
+    dataset = build_dataset(datalist=args.datalist, lidar_type=args.lidar)
+    mesh = data_mesh() if len(jax.devices()) > 1 else None
+    engine = BatchEngine(lidar, cfg, batch_size=args.batch, mesh=mesh, workers=args.workers)
+
+    file_list = dataset.data_list
+    n = len(file_list)
+    io_pool = futures.ThreadPoolExecutor(args.workers)
+
+    def load(idx: int) -> np.ndarray:
+        return load_point_cloud(file_list[idx])
+
+    t0 = time.time()
+    done = 0
+    pending = None  # (device handle, live, names)
+    for start in range(0, n, args.batch):
+        names = file_list[start : start + args.batch]
+        clouds = list(io_pool.map(load, range(start, min(start + args.batch, n))))
+        seeds = [cfg.seed + start + i for i in range(len(clouds))]
+        handle = engine.encode_batch_device(clouds, seeds)
+        if pending is not None:
+            _drain(pending, engine, args)
+            done += pending[1]
+        pending = (handle[0], handle[1], names)
+    if pending is not None:
+        _drain(pending, engine, args)
+        done += pending[1]
+
+    dt = time.time() - t0
+    print(f"\nCompressed {done} frames in {dt:.2f}s ({done / dt:.2f} frames/s)")
+
+
+def _drain(pending, engine, args) -> None:
+    out, live, names = pending
+    results = engine.finalize_encoded(out, live)
+    for (blob, fields), name in zip(results, names):
+        path = output_path_for(name, args.output_dir, "rpcc")
+        with open(path, "wb") as f:
+            f.write(blob)
+        if args.output:
+            print("binary bitstream save in ", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Batch decompression over a datalist of .rpcc files
+(reference ``tools/decompress_datalist.py``): reads each bitstream, decodes in
+device batches, writes reconstructed clouds as .bin (zeroed intensity)
+mirroring input paths under --output_dir."""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures as futures
+import time
+
+import numpy as np
+
+from rpcc_tpu.cli.common import add_codec_args, config_from_args, lidar_from_args, print_args
+from rpcc_tpu.cli.compress_datalist import output_path_for
+from rpcc_tpu.data.pointcloud_io import save_point_cloud
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    add_codec_args(parser, datalist=True)
+    args = parser.parse_args()
+    print_args(args)
+
+    cfg = config_from_args(args)
+    lidar = lidar_from_args(args)
+
+    import jax
+
+    from rpcc_tpu.parallel import BatchEngine, data_mesh
+
+    with open(args.datalist) as f:
+        file_list = [line.strip() for line in f if line.strip()]
+    for fp in file_list:
+        assert fp.split(".")[-1] == "rpcc", f"expected .rpcc input, got {fp}"
+
+    mesh = data_mesh() if len(jax.devices()) > 1 else None
+    engine = BatchEngine(lidar, cfg, batch_size=args.batch, mesh=mesh, workers=args.workers)
+    io_pool = futures.ThreadPoolExecutor(args.workers)
+
+    t0 = time.time()
+    done = 0
+    for start in range(0, len(file_list), args.batch):
+        names = file_list[start : start + args.batch]
+        blobs = [open(fp, "rb").read() for fp in names]
+        pcs = engine.decode_blobs(blobs)
+
+        def write(i: int) -> None:
+            path = output_path_for(names[i], args.output_dir, "bin")
+            save_point_cloud(path, pcs[i].reshape(-1, 3))
+
+        list(io_pool.map(write, range(len(names))))
+        done += len(names)
+
+    dt = time.time() - t0
+    print(f"\nDecompressed {done} frames in {dt:.2f}s ({done / dt:.2f} frames/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -29,9 +29,10 @@ class DecoderOutput(NamedTuple):
     seg_idx: jnp.ndarray  # (H, W) i32
 
 
-def make_decoder(lidar: LidarConfig, cfg: CodecConfig):
-    """Build ``decode(contour (H,W) u8, sequence (HW,) i32, stream (HW,) i32,
-    model_param (M,4) f32, salience (M,) i32|unused) -> DecoderOutput``.
+def build_decode_fn(lidar: LidarConfig, cfg: CodecConfig):
+    """Build the raw ``decode(contour (H,W) u8, sequence (HW,) i32, stream
+    (HW,) i32, model_param (M,4) f32, step, salience (M,) i32|unused) ->
+    DecoderOutput`` (vmap/shard-composable).
 
     ``sequence`` and ``stream`` are tail-padded to HW on host (padding values
     are ignored: runs beyond seq_len are never indexed, stream tail maps to
@@ -40,26 +41,48 @@ def make_decoder(lidar: LidarConfig, cfg: CodecConfig):
     tm = jnp.asarray(build_transform_map(lidar))
     tm_flat = tm.reshape(-1, 3)
     num_models = cfg.cluster_num + 2
-    level_acc = jnp.asarray(cfg.level_acc, dtype=jnp.float32)
 
     def decode(
         contour: jnp.ndarray,
         sequence: jnp.ndarray,
         stream: jnp.ndarray,
         model_param: jnp.ndarray,
+        step: jnp.ndarray,
         salience: Optional[jnp.ndarray] = None,
     ) -> DecoderOutput:
+        """``step``: scalar uniform step, or per-level table ((L,)) in
+        non-uniform mode — traced so accuracy changes never recompile."""
         seg = recover_map(contour.astype(jnp.int32), sequence)
         seg_flat = seg.reshape(-1)
         order = cluster_sort(seg_flat, num_models)
-        if cfg.uniform:
-            step = cfg.step
-        else:
-            step = level_acc[salience.astype(jnp.int32)[seg_flat]]
+        if not cfg.uniform:
+            step = step[salience.astype(jnp.int32)[seg_flat]]
         resid = dequantize_stream(stream.astype(jnp.int32), order, step)
         pred = intra_predict(seg_flat, model_param, tm_flat)
         ri = (pred + resid).reshape(seg.shape)
         pc = ri[..., None] * tm
         return DecoderOutput(ri, pc, seg)
 
-    return jax.jit(decode)
+    return decode
+
+
+def make_decoder(lidar: LidarConfig, cfg: CodecConfig):
+    """Jitted single-frame decoder."""
+    return jax.jit(build_decode_fn(lidar, cfg))
+
+
+def make_batch_decoder(lidar: LidarConfig, cfg: CodecConfig, mesh=None):
+    """Jitted batched decoder; batch dim sharded over mesh axis 'data'."""
+    base = build_decode_fn(lidar, cfg)
+    if cfg.uniform:
+        fn = jax.vmap(lambda c, q, s, m, step: base(c, q, s, m, step), in_axes=(0, 0, 0, 0, None))
+    else:
+        fn = jax.vmap(base, in_axes=(0, 0, 0, 0, None, 0))
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    b = NamedSharding(mesh, P("data"))
+    r = NamedSharding(mesh, P())
+    in_sh = (b, b, b, b, r) if cfg.uniform else (b, b, b, b, r, b)
+    return jax.jit(fn, in_shardings=in_sh, out_shardings=b)

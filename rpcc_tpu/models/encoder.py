@@ -42,11 +42,14 @@ class EncoderOutput(NamedTuple):
     key_point_map: Optional[jnp.ndarray]  # (H, W) i32 or None
 
 
-def make_encoder(lidar: LidarConfig, cfg: CodecConfig, donate: bool = False):
-    """Build the jitted ``encode(points (N,3) f32, seed u32) -> EncoderOutput``.
+def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
+    """Build the raw (traceable) single-frame encode function.
 
-    Static configuration (shapes, mode, thresholds) is closed over; ``seed``
-    drives the deterministic RANSAC/subsample PRNG.
+    ``encode(points (N,3) f32, seed u32, step) -> EncoderOutput`` — pure, so
+    it composes with ``jax.vmap`` (frame batches) and ``shard_map``/``jit``
+    shardings (device meshes).  Static configuration (shapes, mode,
+    thresholds) is closed over; ``seed`` drives the deterministic
+    RANSAC/subsample PRNG; ``step`` is traced (see encode docstring).
     """
     tm = jnp.asarray(build_transform_map(lidar))  # (H, W, 3)
     tm_flat = tm.reshape(-1, 3)
@@ -60,7 +63,10 @@ def make_encoder(lidar: LidarConfig, cfg: CodecConfig, donate: bool = False):
         )
     )
 
-    def encode(points: jnp.ndarray, seed: jnp.ndarray) -> EncoderOutput:
+    def encode(points: jnp.ndarray, seed: jnp.ndarray, step: jnp.ndarray) -> EncoderOutput:
+        """``step`` is the uniform quantization step (scalar) or the per-level
+        step table ((L,), non-uniform) — traced, so changing ``--accuracy``
+        never recompiles."""
         key = jax.random.PRNGKey(seed)
         k_seg, k_model = jax.random.split(key)
 
@@ -97,7 +103,7 @@ def make_encoder(lidar: LidarConfig, cfg: CodecConfig, donate: bool = False):
         salience = None
         kp_map = None
         if cfg.uniform:
-            stream32 = quantize_stream(residual, order, cfg.step)
+            stream32 = quantize_stream(residual, order, step)
         else:
             _, kp_map = extract_features_with_segment(
                 ri,
@@ -116,8 +122,7 @@ def make_encoder(lidar: LidarConfig, cfg: CodecConfig, donate: bool = False):
                 level_kp_num=cfg.level_key_point_num,
                 ground_level=cfg.ground_salience_level,
             )
-            level_acc = jnp.asarray(cfg.level_acc, dtype=jnp.float32)
-            step_flat = level_acc[salience[seg_flat]]
+            step_flat = step[salience[seg_flat]]
             stream32 = quantize_stream(residual, order, step_flat)
             salience = salience.astype(jnp.uint8)
 
@@ -135,4 +140,31 @@ def make_encoder(lidar: LidarConfig, cfg: CodecConfig, donate: bool = False):
             key_point_map=kp_map,
         )
 
-    return jax.jit(encode)
+    return encode
+
+
+def make_encoder(lidar: LidarConfig, cfg: CodecConfig):
+    """Jitted single-frame encoder."""
+    return jax.jit(build_encode_fn(lidar, cfg))
+
+
+def make_batch_encoder(lidar: LidarConfig, cfg: CodecConfig, mesh=None):
+    """Jitted batched encoder over (B, N, 3) points and (B,) seeds.
+
+    With a ``mesh`` (1-D, axis 'data'), inputs/outputs are sharded over the
+    batch dimension — frame-level data parallelism across chips, the TPU
+    equivalent of the reference's ThreadPoolExecutor over frames
+    (tools/compress_datalist.py:202-206).
+    """
+    fn = jax.vmap(build_encode_fn(lidar, cfg), in_axes=(0, 0, None))
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        fn,
+        in_shardings=(batch_sharding, batch_sharding, replicated),
+        out_shardings=batch_sharding,
+    )

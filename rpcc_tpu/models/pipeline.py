@@ -73,12 +73,18 @@ class RPCCCodec:
         self._decode = make_decoder(lidar, cfg)
         self.entropy = BasicCompressor(method_name=cfg.basic_compressor)
 
+    @property
+    def _step_arg(self) -> np.ndarray:
+        if self.cfg.uniform:
+            return np.float32(self.cfg.step)
+        return np.asarray(self.cfg.level_acc, dtype=np.float32)
+
     # ------------------------------------------------------------- encode
     def encode_device(self, points: np.ndarray, seed: Optional[int] = None):
         """Run the device graph; returns the EncoderOutput (device arrays)."""
         pts = pad_points(points)
         seed = self.cfg.seed if seed is None else seed
-        return self._encode(pts, np.uint32(seed))
+        return self._encode(pts, np.uint32(seed), self._step_arg)
 
     def fields_from_device(self, out) -> Dict[str, np.ndarray]:
         """Trim fixed-shape device outputs into bitstream field arrays."""
@@ -145,9 +151,9 @@ class RPCCCodec:
         t1 = time.perf_counter()
         contour, seq, stream, model_param, salience = self.fields_to_device(fields)
         if salience is None:
-            dec = self._decode(contour, seq, stream, model_param)
+            dec = self._decode(contour, seq, stream, model_param, self._step_arg)
         else:
-            dec = self._decode(contour, seq, stream, model_param, salience)
+            dec = self._decode(contour, seq, stream, model_param, self._step_arg, salience)
         dec = jax.block_until_ready(dec)
         t2 = time.perf_counter()
         times = {"entropy": t1 - t0, "device_decode": t2 - t1}

@@ -1,0 +1,141 @@
+"""Batched throughput engine: device frame batches + host entropy pool.
+
+The dataset-scale path (``compress_datalist`` / ``decompress_datalist``):
+frames are stacked into fixed-shape (B, N, 3) batches, encoded by one sharded
+XLA program, and the byte-level entropy stage runs on a host thread pool
+(stdlib codecs release the GIL) overlapped with the next device batch via
+JAX's async dispatch.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as futures
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from rpcc_tpu.codec.bitstream import pack_bitstream, unpack_bitstream
+from rpcc_tpu.codec.entropy import BasicCompressor
+from rpcc_tpu.config import CodecConfig, LidarConfig
+from rpcc_tpu.models.decoder import make_batch_decoder
+from rpcc_tpu.models.encoder import make_batch_encoder
+from rpcc_tpu.models.pipeline import PAD_QUANTUM
+
+
+class BatchEngine:
+    def __init__(
+        self,
+        lidar: LidarConfig,
+        cfg: CodecConfig,
+        batch_size: int = 8,
+        mesh=None,
+        workers: int = 4,
+    ):
+        self.lidar = lidar
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.H, self.W = lidar.height, lidar.width
+        self.hw = self.H * self.W
+        self._encode_b = make_batch_encoder(lidar, cfg, mesh)
+        self._decode_b = make_batch_decoder(lidar, cfg, mesh)
+        self.entropy = BasicCompressor(method_name=cfg.basic_compressor)
+        self._pool = futures.ThreadPoolExecutor(workers)
+
+    @property
+    def _step_arg(self) -> np.ndarray:
+        if self.cfg.uniform:
+            return np.float32(self.cfg.step)
+        return np.asarray(self.cfg.level_acc, dtype=np.float32)
+
+    # ---------------------------------------------------------------- encode
+    def _stack(self, clouds: Sequence[np.ndarray]) -> Tuple[np.ndarray, int]:
+        n_max = max(c.shape[0] for c in clouds)
+        n_pad = max(PAD_QUANTUM, ((n_max + PAD_QUANTUM - 1) // PAD_QUANTUM) * PAD_QUANTUM)
+        b = self.batch_size
+        out = np.zeros((b, n_pad, 3), np.float32)
+        for i, c in enumerate(clouds):
+            out[i, : c.shape[0]] = np.asarray(c, np.float32)[:, :3]
+        return out, len(clouds)
+
+    def encode_batch_device(self, clouds: Sequence[np.ndarray], seeds: Optional[Sequence[int]] = None):
+        """Dispatch one device batch (async); returns (EncoderOutput, live_count)."""
+        assert len(clouds) <= self.batch_size
+        pts, live = self._stack(clouds)
+        if seeds is None:
+            seeds = [self.cfg.seed] * self.batch_size
+        seeds = np.asarray(
+            list(seeds) + [self.cfg.seed] * (self.batch_size - len(seeds)), np.uint32
+        )
+        return self._encode_b(pts, seeds, self._step_arg), live
+
+    def finalize_encoded(self, out, live: int) -> List[Tuple[bytes, Dict[str, np.ndarray]]]:
+        """Trim per-frame fields + entropy-code them on the thread pool."""
+        out = jax.block_until_ready(out)
+        stream = np.asarray(out.stream)
+        stream_len = np.asarray(out.stream_len)
+        contour = np.asarray(out.contour).astype(bool)
+        seq = np.asarray(out.sequence)
+        seq_len = np.asarray(out.seq_len)
+        models = np.asarray(out.model_param)
+        salience = None if out.salience is None else np.asarray(out.salience)
+
+        def one(i: int) -> Tuple[bytes, Dict[str, np.ndarray]]:
+            fields = {
+                "residual_quantized": stream[i, : stream_len[i]].astype(np.int16),
+                "contour_map": np.packbits(contour[i], axis=None).astype(np.uint8),
+                "idx_sequence": seq[i, : seq_len[i]].astype(np.uint16),
+                "plane_param": models[i].astype(np.float32),
+            }
+            if salience is not None:
+                fields["salience_level"] = salience[i].astype(np.uint8)
+            compressed = self.entropy.compress_dict(fields)
+            return pack_bitstream(compressed, uniform=self.cfg.uniform), fields
+
+        return list(self._pool.map(one, range(live)))
+
+    def encode_frames(self, clouds: Sequence[np.ndarray], seeds=None):
+        """Convenience: one synchronous batch -> list of .rpcc payloads."""
+        out, live = self.encode_batch_device(clouds, seeds)
+        return self.finalize_encoded(out, live)
+
+    # ---------------------------------------------------------------- decode
+    def decode_blobs_device(self, blobs: Sequence[bytes]):
+        """Entropy-decode + stack + dispatch one device decode batch."""
+        assert len(blobs) <= self.batch_size
+        b = self.batch_size
+        hw = self.hw
+        contour = np.zeros((b, self.H, self.W), np.uint8)
+        seq = np.zeros((b, hw), np.int32)
+        stream = np.zeros((b, hw), np.int32)
+        models = np.zeros((b, self.cfg.cluster_num + 2, 4), np.float32)
+        sal = np.zeros((b, self.cfg.cluster_num + 2), np.int32)
+
+        def one(i: int):
+            fields = self.entropy.decompress_dict(
+                unpack_bitstream(blobs[i], uniform=self.cfg.uniform)
+            )
+            bits = np.unpackbits(np.frombuffer(fields["contour_map"], np.uint8))
+            contour[i] = bits[:hw].reshape(self.H, self.W)
+            s = np.frombuffer(fields["idx_sequence"], np.uint16).astype(np.int32)
+            seq[i, : s.shape[0]] = s
+            q = np.frombuffer(fields["residual_quantized"], np.int16).astype(np.int32)
+            stream[i, : q.shape[0]] = q
+            m = np.frombuffer(fields["plane_param"], np.float32).reshape(-1, 4)
+            models[i, : m.shape[0]] = m
+            if "salience_level" in fields:
+                sal[i] = np.frombuffer(fields["salience_level"], np.uint8).astype(np.int32)
+
+        list(self._pool.map(one, range(len(blobs))))
+        if self.cfg.uniform:
+            dec = self._decode_b(contour, seq, stream, models, self._step_arg)
+        else:
+            dec = self._decode_b(contour, seq, stream, models, self._step_arg, sal)
+        return dec, len(blobs)
+
+    def decode_blobs(self, blobs: Sequence[bytes]) -> List[np.ndarray]:
+        dec, live = self.decode_blobs_device(blobs)
+        dec = jax.block_until_ready(dec)
+        pcs = np.asarray(dec.point_cloud)
+        return [pcs[i] for i in range(live)]
