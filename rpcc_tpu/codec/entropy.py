@@ -30,7 +30,7 @@ from typing import Dict, Optional
 
 import yaml
 
-METHODS = ("lz4", "bzip2", "gzip", "deflate")
+METHODS = ("lz4", "bzip2", "gzip", "deflate", "rans")
 
 
 class BasicCompressor:
@@ -63,6 +63,10 @@ class BasicCompressor:
 
     # -- single buffer -------------------------------------------------------
     def compress(self, np_array) -> bytes:
+        if self.method_name == "rans":
+            from rpcc_tpu.codec import rans_codec
+
+            return rans_codec.compress(np_array)
         data = _as_bytes(np_array)
         if self.method_name == "lz4":
             return lz4_compress(data)
@@ -73,6 +77,10 @@ class BasicCompressor:
         raise ValueError(f"unknown method {self.method_name}")
 
     def decompress(self, bitstream: bytes) -> bytes:
+        if self.method_name == "rans":
+            from rpcc_tpu.codec import rans_codec
+
+            return rans_codec.decompress(bitstream)
         if self.method_name == "lz4":
             return lz4_decompress(bitstream)
         if self.method_name == "bzip2":

@@ -38,9 +38,11 @@ def build_decode_fn(lidar: LidarConfig, cfg: CodecConfig):
     are ignored: runs beyond seq_len are never indexed, stream tail maps to
     the zero-pixel class).
     """
+    from rpcc_tpu.models.encoder import num_model_rows
+
     tm = jnp.asarray(build_transform_map(lidar))
     tm_flat = tm.reshape(-1, 3)
-    num_models = cfg.cluster_num + 2
+    num_models = num_model_rows(cfg)
 
     def decode(
         contour: jnp.ndarray,

@@ -26,7 +26,13 @@ from rpcc_tpu.ops.modeling import plane_models, point_models
 from rpcc_tpu.ops.predict import intra_predict
 from rpcc_tpu.ops.projection import build_transform_map, project_points
 from rpcc_tpu.ops.quantize import cluster_sort, quantize_stream
-from rpcc_tpu.ops.segment import segment_range_image
+from rpcc_tpu.ops.segment import segment_range_image, segment_range_image_dbscan
+
+
+def num_model_rows(cfg: CodecConfig) -> int:
+    """Model-table rows: FPS = ground + zero-class + K clusters; DBSCAN adds
+    the noise class (ids 0,1,2=noise,3..K+2)."""
+    return cfg.cluster_num + (3 if cfg.segment_method == "DBSCAN" else 2)
 
 
 class EncoderOutput(NamedTuple):
@@ -54,7 +60,7 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
     tm = jnp.asarray(build_transform_map(lidar))  # (H, W, 3)
     tm_flat = tm.reshape(-1, 3)
     H, W = lidar.height, lidar.width
-    num_models = cfg.cluster_num + 2  # ground + zero-class + K clusters
+    num_models = num_model_rows(cfg)
     v_angles = (
         None
         if lidar.even_dist
@@ -73,9 +79,14 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
         ri = project_points(points, lidar, v_angles)  # (H, W)
         pc = ri[..., None] * tm  # (H, W, 3)
 
-        seg, ground_model, _ = segment_range_image(
-            pc, ri, tm, k_seg, cfg.ground_threshold, cfg.cluster_num
-        )
+        if cfg.segment_method == "DBSCAN":
+            seg, ground_model, _ = segment_range_image_dbscan(
+                pc, ri, tm, k_seg, cfg.dbscan_eps, cfg.cluster_num
+            )
+        else:
+            seg, ground_model, _ = segment_range_image(
+                pc, ri, tm, k_seg, cfg.ground_threshold, cfg.cluster_num
+            )
         seg_flat = seg.reshape(-1)
         ri_flat = ri.reshape(-1)
 

@@ -63,9 +63,11 @@ class RPCCCodec:
     def __init__(self, lidar: LidarConfig, cfg: CodecConfig):
         self.lidar = lidar
         self.cfg = cfg
+        from rpcc_tpu.models.encoder import num_model_rows
+
         self.H, self.W = lidar.height, lidar.width
         self.hw = self.H * self.W
-        self.num_models = cfg.cluster_num + 2
+        self.num_models = num_model_rows(cfg)
         from rpcc_tpu.ops.projection import build_transform_map
 
         self.transform_map = build_transform_map(lidar)  # (H, W, 3) np.float32

@@ -1,0 +1,161 @@
+"""Interleaved-lane rANS entropy coder — fully on device.
+
+This is the framework's own addition (method name ``rans``): the reference
+ships only host byte codecs (bzip2/deflate/lz4, ``utils/compress_utils.py:
+232-310``), which serialize on the CPU and bound datalist throughput.  Here
+the entropy stage itself is an XLA program: L independent rANS lanes advance
+in lockstep over a ``lax.scan``, so each scan step is one (L,)-wide VPU
+update and the whole batch of frames vmaps into (B*L,)-wide steps.
+
+Scheme: order-0 adaptive-per-frame model; 32-bit state, 16-bit renormalized
+IO, PROB_BITS=14.  Encoding walks symbols in reverse so decoding streams
+forward.  At most one word is emitted per symbol (state < 2^32 and one shift
+re-establishes the invariant), so each lane's word buffer is (T,) and the
+true word counts travel in the container header.
+
+Wire format is produced by codec/rans_codec.py; this module is the pure
+kernel: fixed-shape arrays in, fixed-shape arrays out.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+PROB_BITS = 14
+M = 1 << PROB_BITS  # total frequency
+RANS_L = 1 << 16  # state lower bound
+IO_BITS = 16
+WORD_MASK = (1 << IO_BITS) - 1
+
+
+def normalize_freqs(counts: jnp.ndarray) -> jnp.ndarray:
+    """Deterministically normalize histogram ``counts`` to sum exactly M.
+
+    Every present symbol keeps freq >= 1; the residual correction lands on
+    the most frequent symbol (guaranteed to absorb it for any realistic
+    skewed distribution; a pathological near-uniform distribution over the
+    full alphabet falls back to capping at 1 minimum per symbol, still summing
+    to M because A << M).
+    """
+    counts = counts.astype(jnp.int32)
+    total = jnp.maximum(jnp.sum(counts), 1)
+    # f32 is exact here: counts * (M/total) <= M = 2^14 << 2^24 mantissa.
+    f = jnp.floor(counts.astype(jnp.float32) * (M / total.astype(jnp.float32)))
+    f = f.astype(jnp.int32)
+    f = jnp.where((counts > 0) & (f == 0), 1, f)
+    delta = M - jnp.sum(f)
+    top = jnp.argmax(f)
+    f = f.at[top].add(delta)
+    return f
+
+
+def cumulative(freqs: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(freqs)[:-1]])
+
+
+def slot_to_symbol(freqs: jnp.ndarray) -> jnp.ndarray:
+    """(M,) lookup: slot -> symbol (decode side)."""
+    a = freqs.shape[0]
+    return jnp.repeat(
+        jnp.arange(a, dtype=jnp.int32), freqs, total_repeat_length=M
+    )
+
+
+class RansCode(NamedTuple):
+    words: jnp.ndarray  # (L, T) uint16 emitted words, front-packed per lane
+    counts: jnp.ndarray  # (L,) int32 number of valid words per lane
+    states: jnp.ndarray  # (L,) uint32 final states
+
+
+def rans_encode(symbols: jnp.ndarray, freqs: jnp.ndarray, cum: jnp.ndarray) -> RansCode:
+    """Encode (L, T) int32 symbols; lane i encodes its row (reverse order)."""
+    L, T = symbols.shape
+    f_all = freqs[symbols].astype(jnp.uint32)  # (L, T)
+    c_all = cum[symbols].astype(jnp.uint32)
+
+    def step(carry, t):
+        x, words, cnt = carry
+        idx = T - 1 - t
+        f = f_all[:, idx]
+        c = c_all[:, idx]
+        # renorm: emit low 16 bits while x >= f << (32 - PROB_BITS - IO_BITS+16)
+        emit = (x >> jnp.uint32(18)) >= f  # x >= f * 2^18, overflow-safe
+        word = (x & WORD_MASK).astype(jnp.uint16)
+        pos = jnp.where(emit, cnt, T)
+        words = words.at[jnp.arange(L), pos].set(word, mode="drop")
+        cnt = cnt + emit.astype(jnp.int32)
+        x = jnp.where(emit, x >> jnp.uint32(IO_BITS), x)
+        # encode
+        x = (x // f) * jnp.uint32(M) + c + (x % f)
+        return (x, words, cnt), None
+
+    x0 = jnp.full((L,), RANS_L, jnp.uint32)
+    words0 = jnp.zeros((L, T), jnp.uint16)
+    cnt0 = jnp.zeros((L,), jnp.int32)
+    (x, words, cnt), _ = jax.lax.scan(step, (x0, words0, cnt0), jnp.arange(T))
+    return RansCode(words, cnt, x)
+
+
+def rans_decode(
+    code: RansCode,
+    freqs: jnp.ndarray,
+    cum: jnp.ndarray,
+    slot2sym: jnp.ndarray,
+    T: int,
+) -> jnp.ndarray:
+    """Decode back to (L, T) int32 symbols (forward order)."""
+    words, counts, states = code
+    L = states.shape[0]
+    freqs_u = freqs.astype(jnp.uint32)
+    cum_u = cum.astype(jnp.uint32)
+
+    def step(carry, t):
+        x, cur = carry
+        slot = x & jnp.uint32(M - 1)
+        s = slot2sym[slot]  # (L,)
+        f = freqs_u[s]
+        c = cum_u[s]
+        x = f * (x >> jnp.uint32(PROB_BITS)) + slot - c
+        need = x < jnp.uint32(RANS_L)
+        nxt = jnp.where(need, cur - 1, cur)
+        w = words[jnp.arange(L), jnp.maximum(nxt, 0)].astype(jnp.uint32)
+        x = jnp.where(need, (x << jnp.uint32(IO_BITS)) | w, x)
+        return (x, nxt), s
+
+    # Lanes consume their word buffers from the back (LIFO vs emission).
+    (x, cur), syms = jax.lax.scan(step, (states, counts), jnp.arange(T))
+    return syms.T.astype(jnp.int32)  # (L, T)
+
+
+# ------------------------------------------------------------------ helpers
+def pack_symbols(flat: jnp.ndarray, lanes: int, pad_symbol: int) -> Tuple[jnp.ndarray, int]:
+    """Pad a flat symbol stream to lanes*T and reshape to (lanes, T)."""
+    n = flat.shape[0]
+    T = max(1, -(-n // lanes))  # T >= 1 keeps scans/indexing well-formed
+    padded = jnp.full((lanes * T,), pad_symbol, flat.dtype).at[:n].set(flat)
+    return padded.reshape(lanes, T), T
+
+
+@functools.partial(jax.jit, static_argnames=("alphabet", "lanes"))
+def encode_stream(flat_symbols: jnp.ndarray, alphabet: int, lanes: int = 128):
+    """One-shot device encode of a flat int32 symbol stream.
+
+    Returns (RansCode, freqs (A,)).  The histogram includes the padding
+    (symbol 0) so decode is self-consistent; callers slice off the tail.
+    """
+    sym2d, _ = pack_symbols(flat_symbols, lanes, pad_symbol=0)
+    counts = jnp.bincount(sym2d.reshape(-1), length=alphabet)
+    freqs = normalize_freqs(counts)
+    cum = cumulative(freqs)
+    return rans_encode(sym2d, freqs, cum), freqs
+
+
+@functools.partial(jax.jit, static_argnames=("T",))
+def decode_stream(code: RansCode, freqs: jnp.ndarray, T: int) -> jnp.ndarray:
+    cum = cumulative(freqs)
+    s2s = slot_to_symbol(freqs)
+    return rans_decode(code, freqs, cum, s2s, T).reshape(-1)

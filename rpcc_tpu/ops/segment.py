@@ -75,6 +75,33 @@ def ground_depth_residual(
     return range_image - r_plane
 
 
+def segment_range_image_dbscan(
+    point_cloud: jnp.ndarray,  # (H, W, 3)
+    range_image: jnp.ndarray,  # (H, W)
+    transform_map: jnp.ndarray,  # (H, W, 3)
+    key: jax.Array,
+    eps: float,
+    max_clusters: int,
+) -> SegmentResult:
+    """DBSCAN-mode segmentation (``utils/segment_utils.py:149-164``): ground
+    by |depth residual| <= 0.5, clusters from device connected components.
+
+    Final ids: 0 ground, 1 zero pixels, 2 noise, 3.. clusters."""
+    from rpcc_tpu.ops.dbscan import dbscan_range_image
+
+    H, W = range_image.shape
+    pts = point_cloud.reshape(-1, 3)
+    ground_model = fit_ground_plane(pts, key)
+    g_res = ground_depth_residual(range_image, ground_model, transform_map)
+    nonzero = range_image > 0.0
+    active = (jnp.abs(g_res) > 0.5) & nonzero  # :155-156
+    seg = dbscan_range_image(point_cloud, active, eps, max_clusters)
+    seg = jnp.where(nonzero, seg, 1)
+    seg = jnp.where(nonzero & ~active, 0, seg)
+    centers = jnp.zeros((max_clusters, 3), point_cloud.dtype)
+    return SegmentResult(seg.astype(jnp.int32), ground_model, centers)
+
+
 def segment_range_image(
     point_cloud: jnp.ndarray,  # (H, W, 3)
     range_image: jnp.ndarray,  # (H, W)

@@ -106,11 +106,14 @@ class BatchEngine:
         assert len(blobs) <= self.batch_size
         b = self.batch_size
         hw = self.hw
+        from rpcc_tpu.models.encoder import num_model_rows
+
+        nm = num_model_rows(self.cfg)
         contour = np.zeros((b, self.H, self.W), np.uint8)
         seq = np.zeros((b, hw), np.int32)
         stream = np.zeros((b, hw), np.int32)
-        models = np.zeros((b, self.cfg.cluster_num + 2, 4), np.float32)
-        sal = np.zeros((b, self.cfg.cluster_num + 2), np.int32)
+        models = np.zeros((b, nm, 4), np.float32)
+        sal = np.zeros((b, nm), np.int32)
 
         def one(i: int):
             fields = self.entropy.decompress_dict(
