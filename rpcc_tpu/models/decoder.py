@@ -1,10 +1,14 @@
 """The device-side decoder graph — exactly inverts the encoder.
 
 From the entropy-decoded arrays (contour bits, run values, residual stream,
-model table, salience) back to the reconstructed range image and point cloud,
-as one jitted program: recover the seg map with a parallel run-length fill,
-rebuild the cluster-sorted permutation (deterministic given the seg map),
-scatter the residual stream, intra-predict, add, back-project.
+model table, salience) back to the reconstructed range image, as one jitted
+program: recover the seg map with a parallel run-length fill, rebuild the
+cluster-sorted permutation (deterministic given the seg map), scatter the
+residual stream, intra-predict, add.
+
+Back-projection to the (H, W, 3) cloud happens on host (one broadcast
+multiply with the transform map): returning a trailing-dim-3 array from the
+device would tile-pad 3 -> 128 lanes and inflate the download ~42x.
 
 Mirrors ``tools/decompress.py:87-112``.
 """
@@ -19,13 +23,12 @@ import jax.numpy as jnp
 from rpcc_tpu.config import CodecConfig, LidarConfig
 from rpcc_tpu.ops.contour import recover_map
 from rpcc_tpu.ops.predict import intra_predict
-from rpcc_tpu.ops.projection import build_transform_map
+from rpcc_tpu.ops.projection import build_transform_planes
 from rpcc_tpu.ops.quantize import cluster_sort, dequantize_stream
 
 
 class DecoderOutput(NamedTuple):
     range_image: jnp.ndarray  # (H, W) f32
-    point_cloud: jnp.ndarray  # (H, W, 3) f32
     seg_idx: jnp.ndarray  # (H, W) i32
 
 
@@ -40,8 +43,8 @@ def build_decode_fn(lidar: LidarConfig, cfg: CodecConfig):
     """
     from rpcc_tpu.models.encoder import num_model_rows
 
-    tm = jnp.asarray(build_transform_map(lidar))
-    tm_flat = tm.reshape(-1, 3)
+    H, W = lidar.height, lidar.width
+    tm_planes_flat = jnp.asarray(build_transform_planes(lidar)).reshape(3, H * W)
     num_models = num_model_rows(cfg)
 
     def decode(
@@ -60,10 +63,9 @@ def build_decode_fn(lidar: LidarConfig, cfg: CodecConfig):
         if not cfg.uniform:
             step = step[salience.astype(jnp.int32)[seg_flat]]
         resid = dequantize_stream(stream.astype(jnp.int32), order, step)
-        pred = intra_predict(seg_flat, model_param, tm_flat)
+        pred = intra_predict(seg_flat, model_param, tm_planes_flat)
         ri = (pred + resid).reshape(seg.shape)
-        pc = ri[..., None] * tm
-        return DecoderOutput(ri, pc, seg)
+        return DecoderOutput(ri, seg)
 
     return decode
 

@@ -24,7 +24,7 @@ from rpcc_tpu.ops.contour import extract_contour
 from rpcc_tpu.ops.features import extract_features_with_segment, salience_levels
 from rpcc_tpu.ops.modeling import plane_models, point_models
 from rpcc_tpu.ops.predict import intra_predict
-from rpcc_tpu.ops.projection import build_transform_map, project_points
+from rpcc_tpu.ops.projection import build_transform_planes, project_points
 from rpcc_tpu.ops.quantize import cluster_sort, quantize_stream
 from rpcc_tpu.ops.segment import segment_range_image, segment_range_image_dbscan
 
@@ -57,9 +57,9 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
     thresholds) is closed over; ``seed`` drives the deterministic
     RANSAC/subsample PRNG; ``step`` is traced (see encode docstring).
     """
-    tm = jnp.asarray(build_transform_map(lidar))  # (H, W, 3)
-    tm_flat = tm.reshape(-1, 3)
+    tm_planes = jnp.asarray(build_transform_planes(lidar))  # (3, H, W) planar
     H, W = lidar.height, lidar.width
+    tm_planes_flat = tm_planes.reshape(3, H * W)
     num_models = num_model_rows(cfg)
     v_angles = (
         None
@@ -77,15 +77,15 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
         k_seg, k_model = jax.random.split(key)
 
         ri = project_points(points, lidar, v_angles)  # (H, W)
-        pc = ri[..., None] * tm  # (H, W, 3)
+        pc_planes = ri[None, :, :] * tm_planes  # (3, H, W) planar cloud
 
         if cfg.segment_method == "DBSCAN":
             seg, ground_model, _ = segment_range_image_dbscan(
-                pc, ri, tm, k_seg, cfg.dbscan_eps, cfg.cluster_num
+                pc_planes, ri, tm_planes, k_seg, cfg.dbscan_eps, cfg.cluster_num
             )
         else:
             seg, ground_model, _ = segment_range_image(
-                pc, ri, tm, k_seg, cfg.ground_threshold, cfg.cluster_num
+                pc_planes, ri, tm_planes, k_seg, cfg.ground_threshold, cfg.cluster_num
             )
         seg_flat = seg.reshape(-1)
         ri_flat = ri.reshape(-1)
@@ -96,10 +96,10 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
             models = point_models(ri_flat, seg_flat, num_models)
         else:
             models = plane_models(
-                pc.reshape(-1, 3),
+                pc_planes.reshape(3, -1),
                 ri_flat,
                 seg_flat,
-                tm_flat,
+                tm_planes_flat,
                 order.perm,
                 order.counts,
                 k_model,
@@ -108,7 +108,7 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
             )
         model_param = models.at[0].set(ground_model)
 
-        pred = intra_predict(seg_flat, model_param, tm_flat)
+        pred = intra_predict(seg_flat, model_param, tm_planes_flat)
         residual = ri_flat - pred
 
         salience = None

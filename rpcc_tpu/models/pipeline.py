@@ -157,6 +157,10 @@ class RPCCCodec:
         else:
             dec = self._decode(contour, seq, stream, model_param, self._step_arg, salience)
         dec = jax.block_until_ready(dec)
+        # Download the range image only; back-project on host (a (.., 3)
+        # trailing dim is tile-padded 42x on TPU downloads).
+        ri = np.asarray(dec.range_image)
+        pc = ri[..., None] * self.transform_map
         t2 = time.perf_counter()
         times = {"entropy": t1 - t0, "device_decode": t2 - t1}
-        return np.asarray(dec.point_cloud), np.asarray(dec.range_image), times
+        return pc, ri, times

@@ -41,7 +41,7 @@ def _neighbor_shifts(window: int) -> Tuple[Tuple[int, int], ...]:
 
 
 def dbscan_range_image(
-    point_cloud: jnp.ndarray,  # (H, W, 3)
+    point_planes: jnp.ndarray,  # (3, H, W) planar x/y/z
     active: jnp.ndarray,  # (H, W) bool: non-ground, non-zero pixels
     eps: float,
     max_clusters: int,
@@ -64,16 +64,19 @@ def dbscan_range_image(
     labels = jnp.where(active, jnp.arange(hw, dtype=jnp.int32).reshape(H, W), hw)
 
     shifts = _neighbor_shifts(window)
+    px, py, pz = point_planes[0], point_planes[1], point_planes[2]
     # Precompute connectivity per shift: dist(p, p_shifted) < eps, both active.
     conns = []
     for dr, dc in shifts:
-        nb_pc = jnp.roll(point_cloud, (-dr, -dc), axis=(0, 1))
         nb_act = jnp.roll(active, (-dr, -dc), axis=(0, 1))
         if dr > 0:
             nb_act = nb_act.at[H - dr :, :].set(False)
         elif dr < 0:
             nb_act = nb_act.at[: -dr, :].set(False)
-        d2 = jnp.sum((point_cloud - nb_pc) ** 2, axis=-1)
+        dx = px - jnp.roll(px, (-dr, -dc), axis=(0, 1))
+        dy = py - jnp.roll(py, (-dr, -dc), axis=(0, 1))
+        dz = pz - jnp.roll(pz, (-dr, -dc), axis=(0, 1))
+        d2 = dx * dx + dy * dy + dz * dz
         conns.append(active & nb_act & (d2 < eps2))
     conn = jnp.stack(conns)  # (S, H, W)
 

@@ -22,20 +22,26 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples",))
-def furthest_point_sample(points: jnp.ndarray, num_samples: int) -> jnp.ndarray:
-    """Select ``num_samples`` indices from an (N, 3) cloud by iterative FPS.
+def furthest_point_sample_planar(
+    xs: jnp.ndarray, ys: jnp.ndarray, zs: jnp.ndarray, num_samples: int
+) -> jnp.ndarray:
+    """FPS over planar coordinates (three (N,) arrays).
 
+    Planar layout matters: an (N, 3) array tiles its trailing dim 3 up to the
+    128-lane TPU tile, so every loop iteration would read ~42x the bytes.
     Points flagged invalid should simply be exact duplicates (e.g. zeros) —
     like the reference GPU path, which FPS-samples the zero-masked full pixel
     grid (``utils/segment_utils.py:139-141``): after any zero point is picked
     once, all other zeros have distance 0 and are never picked again.
     """
-    n = points.shape[0]
+    n = xs.shape[0]
 
     def body(i, state):
         min_d2, idxs, last = state
-        d2 = jnp.sum((points - points[last]) ** 2, axis=-1)
+        dx = xs - xs[last]
+        dy = ys - ys[last]
+        dz = zs - zs[last]
+        d2 = dx * dx + dy * dy + dz * dz
         min_d2 = jnp.minimum(min_d2, d2)
         nxt = jnp.argmax(min_d2).astype(jnp.int32)
         idxs = idxs.at[i].set(nxt)
@@ -45,3 +51,12 @@ def furthest_point_sample(points: jnp.ndarray, num_samples: int) -> jnp.ndarray:
     min_d2 = jnp.full((n,), 1e10, dtype=jnp.float32)
     _, idxs, _ = jax.lax.fori_loop(1, num_samples, body, (min_d2, idxs0, jnp.int32(0)))
     return idxs
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
+def furthest_point_sample(points: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """(N, 3) convenience wrapper (CUDA-op-compatible semantics,
+    ``sampling_gpu.cu:43-68``): seed index 0, lowest index wins ties."""
+    return furthest_point_sample_planar(
+        points[:, 0], points[:, 1], points[:, 2], num_samples
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from rpcc_tpu.ops.ransac import fit_plane_weighted, point_plane_distance
+from rpcc_tpu.ops.ransac import fit_plane_weighted, point_plane_distance_planar
 
 MIN_PLANE_POINTS = 30  # utils/segment_utils.py:203
 CLUSTER_RANSAC_N = 4  # :208
@@ -62,10 +62,10 @@ def _gather_cluster_sample(
 
 
 def plane_models(
-    points_flat: jnp.ndarray,  # (HW, 3)
+    point_planes_flat: jnp.ndarray,  # (3, HW) planar x/y/z
     range_flat: jnp.ndarray,  # (HW,)
     seg_flat: jnp.ndarray,  # (HW,) cluster ids
-    transform_flat: jnp.ndarray,  # (HW, 3) unit rays
+    tm_planes_flat: jnp.ndarray,  # (3, HW) planar unit rays
     perm: jnp.ndarray,  # (HW,) stable cluster-sorted permutation (incl. id 1)
     counts: jnp.ndarray,  # (num_models,) per-cluster pixel counts
     key: jax.Array,
@@ -85,33 +85,41 @@ def plane_models(
     )
     k_samp, k_hyp = jax.random.split(key)
     samp_idx = _gather_cluster_sample(perm, starts, counts, k_samp, num_models)
-    samp_pts = points_flat[samp_idx]  # (C, S, 3)
-    samp_rays = transform_flat[samp_idx]  # (C, S, 3)
+    # Planar gathers: (C, S) per coordinate, never a (C, S, 3) tensor.
+    sx = point_planes_flat[0][samp_idx]
+    sy = point_planes_flat[1][samp_idx]
+    sz = point_planes_flat[2][samp_idx]
+    rx = tm_planes_flat[0][samp_idx]
+    ry = tm_planes_flat[1][samp_idx]
+    rz = tm_planes_flat[2][samp_idx]
     s_valid = (
         jnp.arange(PLANE_SAMPLE_CAPACITY)[None, :] < jnp.minimum(counts, PLANE_SAMPLE_CAPACITY)[:, None]
     )
 
-    def fit_one(pts, valid, k):
+    def fit_one(px, py, pz, valid, k):
         # Hypotheses: CLUSTER_RANSAC_ITERS draws of CLUSTER_RANSAC_N sample rows.
         nv = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
         u = jax.random.uniform(k, (CLUSTER_RANSAC_ITERS, CLUSTER_RANSAC_N))
         hyp_idx = jnp.minimum((u * nv).astype(jnp.int32), nv - 1)
-        hyp_pts = pts[hyp_idx]
-        ones = jnp.ones((CLUSTER_RANSAC_N,), pts.dtype)
+        hyp_pts = jnp.stack([px[hyp_idx], py[hyp_idx], pz[hyp_idx]], axis=-1)
+        ones = jnp.ones((CLUSTER_RANSAC_N,), px.dtype)
         planes = jax.vmap(lambda p: fit_plane_weighted(p, ones))(hyp_pts)
-        dists = point_plane_distance(pts[None, :, :], planes[:, None, :])
+        dists = point_plane_distance_planar(px, py, pz, planes)  # (T, S)
         inl = (dists < CLUSTER_RANSAC_THRESHOLD) & valid[None, :]
         cnts = jnp.sum(inl.astype(jnp.int32), axis=-1)
         best = jnp.argmax(cnts)
-        refit = fit_plane_weighted(pts, inl[best].astype(pts.dtype))
+        w = inl[best].astype(px.dtype)
+        refit = fit_plane_weighted(jnp.stack([px, py, pz], axis=-1), w)
         return jnp.where(cnts[best] >= 3, refit, planes[best])
 
     keys = jax.random.split(k_hyp, num_models)
-    planes = jax.vmap(fit_one)(samp_pts, s_valid, keys)  # (C, 4)
+    planes = jax.vmap(fit_one)(sx, sy, sz, s_valid, keys)  # (C, 4)
 
     # Scan-angle validation over the cluster sample (reference checks all
     # cluster pixels; the fixed random sample is the fixed-shape equivalent).
-    cosang = jnp.abs(jnp.sum(planes[:, None, :3] * samp_rays, axis=-1))
+    cosang = jnp.abs(
+        planes[:, 0:1] * rx + planes[:, 1:2] * ry + planes[:, 2:3] * rz
+    )
     cosang = cosang / jnp.maximum(jnp.linalg.norm(planes[:, :3], axis=-1), 1e-12)[:, None]
     alpha = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
     alpha = jnp.where(s_valid, alpha, 0.0)

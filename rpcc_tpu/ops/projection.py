@@ -62,6 +62,16 @@ def build_transform_map(lidar: LidarConfig) -> np.ndarray:
     return tm.astype(np.float32)
 
 
+def build_transform_planes(lidar: LidarConfig) -> np.ndarray:
+    """(3, H, W) planar unit-ray table.
+
+    Planar (structure-of-arrays) is the TPU-native layout: a trailing dim of
+    3 would be tile-padded to 128 lanes, costing ~42x the bandwidth in every
+    elementwise op that touches it.
+    """
+    return np.transpose(build_transform_map(lidar), (2, 0, 1)).copy()
+
+
 def project_points(
     points: jnp.ndarray,
     lidar: LidarConfig,

@@ -10,15 +10,20 @@ makes the reference encoder nondeterministic run-to-run (SURVEY.md §5 pitfall
 evaluated as one batched computation:
 
   sample (T, n) indices -> gather (T, n, 3) -> weighted-LSQ plane per
-  hypothesis (3x3 eigh on the MXU-friendly covariance) -> inlier counts via a
-  single (T, M) distance evaluation -> argmax -> final least-squares refit on
-  the winning inlier set (o3d also refits on inliers before returning).
+  hypothesis (3x3 eigh on the covariance) -> inlier counts via one planar
+  (T, M) distance evaluation -> argmax -> final least-squares refit on the
+  winning inlier set (o3d also refits on inliers before returning).
+
+Inlier distances are computed against planar x/y/z columns: broadcasting a
+(T, M, 3) tensor would tile-pad the 3 to 128 lanes and waste ~42x bandwidth.
 
 Deterministic given the key; statistically equivalent to the reference
 (bitwise parity with an unseeded reference is not defined).
 """
 
 from __future__ import annotations
+
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +57,20 @@ def point_plane_distance(points: jnp.ndarray, plane: jnp.ndarray) -> jnp.ndarray
     return num / jnp.maximum(jnp.linalg.norm(n, axis=-1), 1e-12)
 
 
+def point_plane_distance_planar(
+    xs: jnp.ndarray, ys: jnp.ndarray, zs: jnp.ndarray, plane: jnp.ndarray
+) -> jnp.ndarray:
+    """|n.p + d|/||n|| over planar coords; plane (..., 4) broadcasts against
+    (M,) coords to (..., M) without materializing any (..., M, 3) tensor."""
+    a = plane[..., 0:1]
+    b = plane[..., 1:2]
+    c = plane[..., 2:3]
+    d = plane[..., 3:4]
+    num = jnp.abs(a * xs + b * ys + c * zs + d)
+    nrm = jnp.sqrt(a * a + b * b + c * c)
+    return (num / jnp.maximum(nrm, 1e-12)).reshape(*plane.shape[:-1], xs.shape[0])
+
+
 def ransac_plane(
     points: jnp.ndarray,
     num_valid: jnp.ndarray,
@@ -70,13 +89,14 @@ def ransac_plane(
 
     u = jax.random.uniform(key, (num_hypotheses, ransac_n))
     samp_idx = jnp.minimum((u * nv).astype(jnp.int32), nv - 1)  # (T, n)
-    samples = points[samp_idx]  # (T, n, 3)
+    samples = points[samp_idx]  # (T, n, 3) — small
 
     ones = jnp.ones((ransac_n,), dtype=points.dtype)
     planes = jax.vmap(lambda p: fit_plane_weighted(p, ones))(samples)  # (T, 4)
 
+    xs, ys, zs = points[:, 0], points[:, 1], points[:, 2]
     valid = (jnp.arange(M) < num_valid).astype(points.dtype)  # (M,)
-    dists = point_plane_distance(points[None, :, :], planes[:, None, :])  # (T, M)
+    dists = point_plane_distance_planar(xs, ys, zs, planes)  # (T, M)
     inlier = (dists < threshold).astype(points.dtype) * valid[None, :]
     counts = jnp.sum(inlier, axis=-1)
     best = jnp.argmax(counts)
@@ -88,26 +108,36 @@ def ransac_plane(
     return jnp.where(counts[best] >= 3, refit, planes[best])
 
 
-def compact_random_subset(
-    points: jnp.ndarray,
+def compact_random_subset_planar(
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    zs: jnp.ndarray,
     mask: jnp.ndarray,
     key: jax.Array,
     capacity: int,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Gather a uniformly random subset of masked rows into a fixed buffer.
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather a uniformly random masked subset into a small (capacity, 3) set.
 
     Equivalent of the reference's ``np.random.choice(..., 5000,
     replace=False)`` ground-point subsample (``utils/segment_utils.py:102-104``)
-    on fixed shapes: draw one uniform priority per row, push unmasked rows to
-    the back, argsort once, keep the first ``capacity`` rows.
+    on fixed shapes: one random priority per row, unmasked rows pushed back,
+    one argsort, first ``capacity`` rows kept.
 
-    Returns ``(subset (capacity, 3), count)`` with ``count = min(#mask,
-    capacity)``; rows past ``count`` are arbitrary and must be masked by the
-    consumer.
+    Returns ``(subset (capacity, 3), count)``; rows past ``count`` are
+    arbitrary and must be masked by the consumer.
     """
-    u = jax.random.uniform(key, (points.shape[0],))
+    u = jax.random.uniform(key, (xs.shape[0],))
     prio = jnp.where(mask, u, 2.0)
-    order = jnp.argsort(prio)
-    subset = points[order[:capacity]]
+    order = jnp.argsort(prio)[:capacity]
+    subset = jnp.stack([xs[order], ys[order], zs[order]], axis=-1)
     count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
     return subset, count
+
+
+def compact_random_subset(
+    points: jnp.ndarray, mask: jnp.ndarray, key: jax.Array, capacity: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(N, 3) convenience wrapper around the planar implementation."""
+    return compact_random_subset_planar(
+        points[:, 0], points[:, 1], points[:, 2], mask, key, capacity
+    )

@@ -9,11 +9,13 @@ TPU-native re-design of ``PointCloudSegment.segment``
     reference's default GPU-path semantics (``:139-141``), which is already
     the fixed-shape formulation a TPU wants;
   * per-pixel assignment: argmin over |ground depth residual| and Euclidean
-    distances to the K centers (``:127-131``).  The (HW, K) distance block is
-    computed as ``|p|^2 + |c|^2 - 2 p@c^T`` so the inner product rides the
-    MXU;
+    distances to the K centers (``:127-131``), with the (K, HW) inner product
+    computed as a (K, 3) @ (3, HW) contraction;
   * relabel to the codec's id convention: 0=ground, 1=zero pixels,
     2..K+1=clusters (``:168-169``).
+
+All coordinates flow as planar x/y/z (HW,) arrays — an (HW, 3) layout would
+tile-pad 3 -> 128 lanes and cost ~42x the HBM bandwidth on TPU.
 """
 
 from __future__ import annotations
@@ -23,10 +25,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from rpcc_tpu.ops.fps import furthest_point_sample
+from rpcc_tpu.ops.fps import furthest_point_sample_planar
 from rpcc_tpu.ops.ransac import (
-    compact_random_subset,
-    point_plane_distance,
+    compact_random_subset_planar,
+    point_plane_distance_planar,
     ransac_plane,
 )
 
@@ -44,14 +46,18 @@ class SegmentResult(NamedTuple):
     centers: jnp.ndarray  # (K, 3) FPS cluster centers
 
 
-def fit_ground_plane(points_flat: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+def fit_ground_plane_planar(
+    xs: jnp.ndarray, ys: jnp.ndarray, zs: jnp.ndarray, key: jax.Array
+) -> jnp.ndarray:
     """Seeded RANSAC ground plane from low-z points (fallback: all points)."""
     k_sub, k_ransac = jax.random.split(key)
-    low = points_flat[:, 2] < GROUND_Z_CUT
+    low = zs < GROUND_Z_CUT
     n_low = jnp.sum(low.astype(jnp.int32))
     # Reference: if fewer than 800 candidates, fit on the full cloud (:105-106).
     mask = jnp.where(n_low < GROUND_FIT_MIN, jnp.ones_like(low), low)
-    subset, count = compact_random_subset(points_flat, mask, k_sub, GROUND_FIT_CAPACITY)
+    subset, count = compact_random_subset_planar(
+        xs, ys, zs, mask, k_sub, GROUND_FIT_CAPACITY
+    )
     return ransac_plane(
         subset,
         count,
@@ -62,23 +68,30 @@ def fit_ground_plane(points_flat: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     )
 
 
+def fit_ground_plane(points_flat: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """(N, 3) convenience wrapper."""
+    return fit_ground_plane_planar(
+        points_flat[:, 0], points_flat[:, 1], points_flat[:, 2], key
+    )
+
+
 def ground_depth_residual(
-    range_image: jnp.ndarray, plane: jnp.ndarray, transform_map: jnp.ndarray
+    range_image: jnp.ndarray, plane: jnp.ndarray, tm_planes: jnp.ndarray
 ) -> jnp.ndarray:
     """Signed depth residual r - r_plane with r_plane = -d / (n . ray).
 
     Mirrors ``calc_plane_residual_depth`` (``utils/segment_utils.py:54-72``).
-    Shapes: range_image (..., H, W), transform_map (H, W, 3) -> (..., H, W).
+    Shapes: range_image (..., H, W), tm_planes (3, H, W) -> (..., H, W).
     """
-    denom = jnp.sum(plane[:3] * transform_map, axis=-1)
+    denom = plane[0] * tm_planes[0] + plane[1] * tm_planes[1] + plane[2] * tm_planes[2]
     r_plane = -plane[3] / denom
     return range_image - r_plane
 
 
 def segment_range_image_dbscan(
-    point_cloud: jnp.ndarray,  # (H, W, 3)
+    point_planes: jnp.ndarray,  # (3, H, W)
     range_image: jnp.ndarray,  # (H, W)
-    transform_map: jnp.ndarray,  # (H, W, 3)
+    tm_planes: jnp.ndarray,  # (3, H, W)
     key: jax.Array,
     eps: float,
     max_clusters: int,
@@ -90,52 +103,61 @@ def segment_range_image_dbscan(
     from rpcc_tpu.ops.dbscan import dbscan_range_image
 
     H, W = range_image.shape
-    pts = point_cloud.reshape(-1, 3)
-    ground_model = fit_ground_plane(pts, key)
-    g_res = ground_depth_residual(range_image, ground_model, transform_map)
+    xs = point_planes[0].reshape(-1)
+    ys = point_planes[1].reshape(-1)
+    zs = point_planes[2].reshape(-1)
+    ground_model = fit_ground_plane_planar(xs, ys, zs, key)
+    g_res = ground_depth_residual(range_image, ground_model, tm_planes)
     nonzero = range_image > 0.0
     active = (jnp.abs(g_res) > 0.5) & nonzero  # :155-156
-    seg = dbscan_range_image(point_cloud, active, eps, max_clusters)
+    seg = dbscan_range_image(point_planes, active, eps, max_clusters)
     seg = jnp.where(nonzero, seg, 1)
     seg = jnp.where(nonzero & ~active, 0, seg)
-    centers = jnp.zeros((max_clusters, 3), point_cloud.dtype)
+    centers = jnp.zeros((max_clusters, 3), range_image.dtype)
     return SegmentResult(seg.astype(jnp.int32), ground_model, centers)
 
 
 def segment_range_image(
-    point_cloud: jnp.ndarray,  # (H, W, 3)
+    point_planes: jnp.ndarray,  # (3, H, W) planar x/y/z
     range_image: jnp.ndarray,  # (H, W)
-    transform_map: jnp.ndarray,  # (H, W, 3)
+    tm_planes: jnp.ndarray,  # (3, H, W)
     key: jax.Array,
     ground_threshold: float,
     cluster_num: int,
 ) -> SegmentResult:
     H, W = range_image.shape
-    pts = point_cloud.reshape(-1, 3)
+    xs = point_planes[0].reshape(-1)
+    ys = point_planes[1].reshape(-1)
+    zs = point_planes[2].reshape(-1)
     ri = range_image.reshape(-1)
 
-    ground_model = fit_ground_plane(pts, key)
+    ground_model = fit_ground_plane_planar(xs, ys, zs, key)
 
     # Non-ground mask by vertical (point-to-plane) distance (:119-120,137-138).
-    vert = point_plane_distance(pts, ground_model)
-    nonground = (vert > ground_threshold) & (ri > 0.0)
-    ng_pts = pts * nonground[:, None].astype(pts.dtype)
+    vert = point_plane_distance_planar(xs, ys, zs, ground_model)
+    nonground = ((vert > ground_threshold) & (ri > 0.0)).astype(ri.dtype)
+    ngx = xs * nonground
+    ngy = ys * nonground
+    ngz = zs * nonground
 
-    center_idx = furthest_point_sample(ng_pts, cluster_num)
-    centers = ng_pts[center_idx]  # (K, 3)
+    center_idx = furthest_point_sample_planar(ngx, ngy, ngz, cluster_num)
+    centers = jnp.stack(
+        [ngx[center_idx], ngy[center_idx], ngz[center_idx]], axis=-1
+    )  # (K, 3)
 
-    # Distance stack: column 0 = |ground depth residual|, 1..K = |p - c|.
+    # Distance stack: row 0 = |ground depth residual|, rows 1..K = |p - c|.
     g_res = jnp.abs(
-        ground_depth_residual(range_image, ground_model, transform_map).reshape(-1)
+        ground_depth_residual(range_image, ground_model, tm_planes).reshape(-1)
     )
-    p2 = jnp.sum(pts * pts, axis=-1)  # (HW,)
+    p2 = xs * xs + ys * ys + zs * zs  # (HW,)
     c2 = jnp.sum(centers * centers, axis=-1)  # (K,)
-    pc = pts @ centers.T  # (HW, K) — MXU
-    d2 = jnp.maximum(p2[:, None] + c2[None, :] - 2.0 * pc, 0.0)
+    pts = jnp.stack([xs, ys, zs], axis=0)  # (3, HW) — cheap planar stack
+    dots = jnp.dot(centers, pts, preferred_element_type=jnp.float32)  # (K, HW)
+    d2 = jnp.maximum(p2[None, :] + c2[:, None] - 2.0 * dots, 0.0)
     cdist = jnp.sqrt(d2)
 
-    dist = jnp.concatenate([g_res[:, None], cdist], axis=1)  # (HW, K+1)
-    seg = jnp.argmin(dist, axis=1).astype(jnp.int32)  # ties -> lowest id, like np.argmax of negation
+    dist = jnp.concatenate([g_res[None, :], cdist], axis=0)  # (K+1, HW)
+    seg = jnp.argmin(dist, axis=0).astype(jnp.int32)  # ties -> lowest id
     seg = jnp.where(seg > 0, seg + 1, seg)  # make room for zero-pixel class 1
     seg = jnp.where(ri == 0.0, 1, seg)
     return SegmentResult(seg.reshape(H, W), ground_model, centers)

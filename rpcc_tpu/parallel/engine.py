@@ -140,5 +140,12 @@ class BatchEngine:
     def decode_blobs(self, blobs: Sequence[bytes]) -> List[np.ndarray]:
         dec, live = self.decode_blobs_device(blobs)
         dec = jax.block_until_ready(dec)
-        pcs = np.asarray(dec.point_cloud)
-        return [pcs[i] for i in range(live)]
+        # Download the (B, H, W) range image, NOT the (B, H, W, 3) cloud: a
+        # trailing dim of 3 is tile-padded to 128 on TPU, making its download
+        # ~42x larger over the wire; back-projection is one host multiply.
+        ris = np.asarray(dec.range_image)
+        if not hasattr(self, "_tm_np"):
+            from rpcc_tpu.ops.projection import build_transform_map
+
+            self._tm_np = build_transform_map(self.lidar)
+        return [ris[i][..., None] * self._tm_np for i in range(live)]

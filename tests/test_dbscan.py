@@ -30,8 +30,9 @@ def test_dbscan_components_basic():
         pc[14, c] = [5, 5, 3 + 0.01 * c]
         active[14, c] = True
 
+    planes = np.transpose(pc, (2, 0, 1)).copy()
     seg = np.asarray(
-        dbscan_range_image(jnp.asarray(pc), jnp.asarray(active), eps=1.5, max_clusters=10)
+        dbscan_range_image(jnp.asarray(planes), jnp.asarray(active), eps=1.5, max_clusters=10)
     )
     a_ids = set(seg[2:6, 5:16].reshape(-1))
     b_ids = set(seg[9:13, 30:41].reshape(-1))
