@@ -22,21 +22,32 @@ _CHUNK = 2048
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def _min_d2_and_idx(a: jnp.ndarray, b: jnp.ndarray, chunk: int = _CHUNK):
-    """For each row of a: (min squared distance to b, argmin index)."""
+    """For each row of a: (min squared distance to b, argmin index).
+
+    The |a|^2+|b|^2-2ab expansion selects the neighbor fast on the MXU but
+    cancels catastrophically in float32 when points are ~100 units from the
+    origin and ~0.01 apart (exactly the LiDAR case), so the *selection* uses
+    the expansion and the reported distance is recomputed exactly by direct
+    subtraction on the selected pairs.
+    """
     n = a.shape[0]
+    mean = jnp.mean(b, axis=0)  # center to reduce cancellation in selection
+    a = a - mean
+    b = b - mean
     b2 = jnp.sum(b * b, axis=-1)
 
     def body(carry, achunk):
         a2 = jnp.sum(achunk * achunk, axis=-1)
         d2 = a2[:, None] + b2[None, :] - 2.0 * (achunk @ b.T)
-        d2 = jnp.maximum(d2, 0.0)
-        return carry, (jnp.min(d2, axis=-1), jnp.argmin(d2, axis=-1).astype(jnp.int32))
+        return carry, jnp.argmin(d2, axis=-1).astype(jnp.int32)
 
     pad = (-n) % chunk
     a_pad = jnp.concatenate([a, jnp.zeros((pad, 3), a.dtype)]) if pad else a
     a_chunks = a_pad.reshape(-1, chunk, 3)
-    _, (d2, idx) = jax.lax.scan(body, None, a_chunks)
-    return d2.reshape(-1)[:n], idx.reshape(-1)[:n]
+    _, idx = jax.lax.scan(body, None, a_chunks)
+    idx = idx.reshape(-1)[:n]
+    d2_exact = jnp.sum((a[:n] - b[idx]) ** 2, axis=-1)
+    return d2_exact, idx
 
 
 def nn_distances(points1: np.ndarray, points2: np.ndarray):

@@ -22,9 +22,13 @@ import jax.numpy as jnp
 
 from rpcc_tpu.config import CodecConfig, LidarConfig
 from rpcc_tpu.ops.contour import recover_map
-from rpcc_tpu.ops.predict import intra_predict
 from rpcc_tpu.ops.projection import build_transform_planes
-from rpcc_tpu.ops.quantize import cluster_sort, dequantize_stream
+from rpcc_tpu.ops.stream import (
+    expand_per_cluster,
+    predict_stream,
+    stream_sort,
+    stream_to_pixel,
+)
 
 
 class DecoderOutput(NamedTuple):
@@ -44,7 +48,8 @@ def build_decode_fn(lidar: LidarConfig, cfg: CodecConfig):
     from rpcc_tpu.models.encoder import num_model_rows
 
     H, W = lidar.height, lidar.width
-    tm_planes_flat = jnp.asarray(build_transform_planes(lidar)).reshape(3, H * W)
+    hw = H * W
+    tm_planes_flat = jnp.asarray(build_transform_planes(lidar)).reshape(3, hw)
     num_models = num_model_rows(cfg)
 
     def decode(
@@ -56,15 +61,28 @@ def build_decode_fn(lidar: LidarConfig, cfg: CodecConfig):
         salience: Optional[jnp.ndarray] = None,
     ) -> DecoderOutput:
         """``step``: scalar uniform step, or per-level table ((L,)) in
-        non-uniform mode — traced so accuracy changes never recompile."""
+        non-uniform mode — traced so accuracy changes never recompile.
+
+        Stream-space mirror of the encoder: the same stable sort rebuilds
+        the bitstream permutation + carried rays; prediction and
+        dequantization run gather-free; one placement sort returns to pixel
+        order.  The stream tail (zero-pixel class, q padded 0, model row 1
+        all-zero) reconstructs exact depth-0 pixels.
+        """
         seg = recover_map(contour.astype(jnp.int32), sequence)
         seg_flat = seg.reshape(-1)
-        order = cluster_sort(seg_flat, num_models)
-        if not cfg.uniform:
-            step = step[salience.astype(jnp.int32)[seg_flat]]
-        resid = dequantize_stream(stream.astype(jnp.int32), order, step)
-        pred = intra_predict(seg_flat, model_param, tm_planes_flat)
-        ri = (pred + resid).reshape(seg.shape)
+        order, (tx_s, ty_s, tz_s) = stream_sort(
+            seg_flat,
+            [tm_planes_flat[0], tm_planes_flat[1], tm_planes_flat[2]],
+            num_models,
+        )
+        pred_s = predict_stream(model_param, order, (tx_s, ty_s, tz_s), hw)
+        if cfg.uniform:
+            step_s = step
+        else:
+            step_s = expand_per_cluster(step[salience.astype(jnp.int32)], order, hw)
+        ri_s = pred_s + stream.astype(jnp.float32) * step_s
+        ri = stream_to_pixel(ri_s, order).reshape(seg.shape)
         return DecoderOutput(ri, seg)
 
     return decode

@@ -7,13 +7,18 @@ in non-uniform mode).  This fuses the reference's per-frame chain of python/
 C++/CUDA calls (``tools/compress.py:93-131``) into a single XLA computation;
 only the byte-level entropy stage stays on host.
 
+Hot-loop design (see ops/stream.py): after segmentation, ONE stable sort
+carries the range, scan rays (and key-point labels) into bitstream order;
+modeling, prediction, quantization and salience then run gather-free in
+stream space — per-cluster scalars expand by telescoping-diff cumsums.  XLA
+TPU gathers/scatters over the pixel grid are ~10x slower than the sort.
+
 The graph is ``vmap``-able over a frame batch and shardable over a device
 mesh (see :mod:`rpcc_tpu.parallel`).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -21,12 +26,18 @@ import jax.numpy as jnp
 
 from rpcc_tpu.config import CodecConfig, LidarConfig
 from rpcc_tpu.ops.contour import extract_contour
-from rpcc_tpu.ops.features import extract_features_with_segment, salience_levels
-from rpcc_tpu.ops.modeling import plane_models, point_models
-from rpcc_tpu.ops.predict import intra_predict
+from rpcc_tpu.ops.features import extract_features_with_segment, salience_levels_from_counts
+from rpcc_tpu.ops.modeling import plane_models_stream, point_model_table
 from rpcc_tpu.ops.projection import build_transform_planes, project_points
-from rpcc_tpu.ops.quantize import cluster_sort, quantize_stream
+from rpcc_tpu.ops.rounding import round_half_away
 from rpcc_tpu.ops.segment import segment_range_image, segment_range_image_dbscan
+from rpcc_tpu.ops.stream import (
+    expand_per_cluster,
+    per_cluster_sums,
+    point_means_stream,
+    predict_stream,
+    stream_sort,
+)
 
 
 def num_model_rows(cfg: CodecConfig) -> int:
@@ -55,11 +66,13 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
     it composes with ``jax.vmap`` (frame batches) and ``shard_map``/``jit``
     shardings (device meshes).  Static configuration (shapes, mode,
     thresholds) is closed over; ``seed`` drives the deterministic
-    RANSAC/subsample PRNG; ``step`` is traced (see encode docstring).
+    RANSAC/subsample PRNG; ``step`` is traced so changing ``--accuracy``
+    never recompiles.
     """
     tm_planes = jnp.asarray(build_transform_planes(lidar))  # (3, H, W) planar
     H, W = lidar.height, lidar.width
-    tm_planes_flat = tm_planes.reshape(3, H * W)
+    hw = H * W
+    tm_planes_flat = tm_planes.reshape(3, hw)
     num_models = num_model_rows(cfg)
     v_angles = (
         None
@@ -70,9 +83,6 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
     )
 
     def encode(points: jnp.ndarray, seed: jnp.ndarray, step: jnp.ndarray) -> EncoderOutput:
-        """``step`` is the uniform quantization step (scalar) or the per-level
-        step table ((L,), non-uniform) — traced, so changing ``--accuracy``
-        never recompiles."""
         key = jax.random.PRNGKey(seed)
         k_seg, k_model = jax.random.split(key)
 
@@ -90,32 +100,9 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
         seg_flat = seg.reshape(-1)
         ri_flat = ri.reshape(-1)
 
-        order = cluster_sort(seg_flat, num_models)
-
-        if cfg.modeling_method == "point":
-            models = point_models(ri_flat, seg_flat, num_models)
-        else:
-            models = plane_models(
-                pc_planes.reshape(3, -1),
-                ri_flat,
-                seg_flat,
-                tm_planes_flat,
-                order.perm,
-                order.counts,
-                k_model,
-                num_models,
-                cfg.plane_angle_threshold,
-            )
-        model_param = models.at[0].set(ground_model)
-
-        pred = intra_predict(seg_flat, model_param, tm_planes_flat)
-        residual = ri_flat - pred
-
-        salience = None
         kp_map = None
-        if cfg.uniform:
-            stream32 = quantize_stream(residual, order, step)
-        else:
+        payloads = [ri_flat, tm_planes_flat[0], tm_planes_flat[1], tm_planes_flat[2]]
+        if not cfg.uniform:
             _, kp_map = extract_features_with_segment(
                 ri,
                 seg,
@@ -125,24 +112,52 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
                 less_sharp_num=cfg.less_sharp_num,
                 flat_num=cfg.flat_num,
             )
-            salience = salience_levels(
-                kp_map.reshape(-1),
-                seg_flat,
-                order.counts,
+            payloads.append((kp_map.reshape(-1) > 0).astype(jnp.float32))
+
+        order, carried = stream_sort(seg_flat, payloads, num_models)
+        ri_s, tx_s, ty_s, tz_s = carried[:4]
+
+        if cfg.modeling_method == "point":
+            models = point_model_table(point_means_stream(ri_s, order), num_models)
+        else:
+            models = plane_models_stream(
+                pc_planes.reshape(3, -1),
+                ri_s,
+                tm_planes_flat,
+                order,
+                k_model,
                 num_models,
+                cfg.plane_angle_threshold,
+            )
+        model_param = models.at[0].set(ground_model)
+
+        pred_s = predict_stream(model_param, order, (tx_s, ty_s, tz_s), hw)
+        resid_s = ri_s - pred_s
+
+        salience = None
+        if cfg.uniform:
+            step_s = step
+        else:
+            kp_cnt = per_cluster_sums(carried[4], order).astype(jnp.int32)
+            sal = salience_levels_from_counts(
+                kp_cnt,
+                order.counts,
                 level_kp_num=cfg.level_key_point_num,
                 ground_level=cfg.ground_salience_level,
             )
-            step_flat = step[salience[seg_flat]]
-            stream32 = quantize_stream(residual, order, step_flat)
-            salience = salience.astype(jnp.uint8)
+            step_s = expand_per_cluster(step[sal], order, hw)
+            salience = sal.astype(jnp.uint8)
+
+        q = round_half_away(resid_s / step_s).astype(jnp.int32)
+        live = jnp.arange(hw) < order.stream_len
+        q = jnp.where(live, q, 0)
 
         code = extract_contour(seg)
         return EncoderOutput(
             range_image=ri,
             seg_idx=seg,
             model_param=model_param,
-            stream=stream32.astype(jnp.int16),  # reference casts int16 (compress_utils.py:142)
+            stream=q.astype(jnp.int16),  # reference casts int16 (compress_utils.py:142)
             stream_len=order.stream_len,
             contour=code.contour.astype(jnp.uint8),
             sequence=code.sequence,

@@ -6,17 +6,21 @@ mask plus the run values (``contour_utils_cpp.extract_contour``,
 the id differs from the left neighbor; the id value is emitted at each
 contour=1 position in row-major order.
 
-TPU formulation: the contour mask is a shifted compare; the index sequence is
-a cumsum-compaction scatter; and the decoder's run-length fill
-(``cpp_modules.cpp:561-593``) is ``seq[cumsum(contour) - 1]`` — a purely
-parallel segmented broadcast instead of a serial pointer walk.
+TPU formulation: the contour mask is a shifted compare; the run-value
+sequence is a stable-sort compaction (front-pack flagged pixels — ~10x
+cheaper than a position scatter on TPU); and the decoder's run-length fill
+(``cpp_modules.cpp:561-593``) scatters only the ~seq_len run *deltas* and
+integrates with one cumsum — never a (HW,)-sized gather or scatter.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
+
+from rpcc_tpu.ops.stream import compact_flagged
 
 
 class ContourCode(NamedTuple):
@@ -32,16 +36,28 @@ def extract_contour(seg: jnp.ndarray) -> ContourCode:
     contour = contour.at[:, 0].set(1)  # row starts are always contour points
     cflat = contour.reshape(-1)
     sflat = seg.reshape(-1).astype(jnp.int32)
-    cum = jnp.cumsum(cflat)
-    seq_len = cum[-1]
-    dest = jnp.where(cflat == 1, cum - 1, cflat.shape[0])
-    sequence = jnp.zeros((cflat.shape[0],), jnp.int32).at[dest].set(sflat, mode="drop")
-    return ContourCode(contour, sequence, seq_len)
+    sequence, seq_len = compact_flagged(cflat, sflat)
+    hw = cflat.shape[0]
+    live = jnp.arange(hw) < seq_len
+    return ContourCode(contour, jnp.where(live, sequence, 0), seq_len)
 
 
 def recover_map(contour: jnp.ndarray, sequence: jnp.ndarray) -> jnp.ndarray:
-    """Invert :func:`extract_contour`.  ``sequence`` may be tail-padded."""
+    """Invert :func:`extract_contour`.  ``sequence`` may be tail-padded.
+
+    Scatter the per-run value deltas at the run-start pixels, then cumsum:
+    only ~seq_len elements are scattered and the fill is one parallel scan.
+    """
     H, W = contour.shape
-    cum = jnp.cumsum(contour.reshape(-1).astype(jnp.int32))
-    run_id = jnp.maximum(cum - 1, 0)
-    return sequence[run_id].reshape(H, W)
+    hw = H * W
+    cflat = contour.reshape(-1).astype(jnp.int32)
+    iota = jnp.arange(hw, dtype=jnp.int32)
+    # ``pos`` is a full permutation: run-start pixels first (ascending), then
+    # the remaining pixels (ascending) — so placing the run deltas back at
+    # their pixels is a sort by ``pos``, not a scatter.
+    pos, n = compact_flagged(cflat, iota)
+    seq = sequence.astype(jnp.int32)
+    diffs = jnp.concatenate([seq[:1], seq[1:] - seq[:-1]])
+    diffs = jnp.where(iota < n, diffs, 0)
+    _, base = jax.lax.sort((pos, diffs), num_keys=1, is_stable=True)
+    return jnp.cumsum(base).reshape(H, W)

@@ -214,11 +214,9 @@ def extract_features_with_segment(
     )
 
 
-def salience_levels(
-    kp_flat: jnp.ndarray,  # (HW,) key-point labels
-    seg_flat: jnp.ndarray,  # (HW,) cluster ids
+def salience_levels_from_counts(
+    kp_cnt: jnp.ndarray,  # (num_models,) per-cluster key-point counts
     counts: jnp.ndarray,  # (num_models,) per-cluster pixel counts
-    num_models: int,
     level_kp_num: Tuple[int, ...],
     ground_level: int,
 ) -> jnp.ndarray:
@@ -229,9 +227,6 @@ def salience_levels(
     threshold is 0, so one always matches).
     """
     num_levels = len(level_kp_num)
-    kp_cnt = jax.ops.segment_sum(
-        (kp_flat > 0).astype(jnp.int32), seg_flat.astype(jnp.int32), num_segments=num_models
-    )
     thresholds = jnp.asarray(level_kp_num, dtype=jnp.int32)  # (L,)
     meets = kp_cnt[:, None] >= thresholds[None, :]  # (C, L)
     first = jnp.argmax(meets, axis=1).astype(jnp.int32)  # first True, or 0 like C++ init
@@ -239,3 +234,20 @@ def salience_levels(
     lvl = lvl.at[0].set(ground_level)
     lvl = lvl.at[1].set(num_levels - 1)
     return lvl
+
+
+def salience_levels(
+    kp_flat: jnp.ndarray,  # (HW,) key-point labels
+    seg_flat: jnp.ndarray,  # (HW,) cluster ids
+    counts: jnp.ndarray,  # (num_models,) per-cluster pixel counts
+    num_models: int,
+    level_kp_num: Tuple[int, ...],
+    ground_level: int,
+) -> jnp.ndarray:
+    """Pixel-space convenience wrapper around
+    :func:`salience_levels_from_counts` (uses a segment_sum; the encoder's
+    stream path computes the counts with a cumsum instead)."""
+    kp_cnt = jax.ops.segment_sum(
+        (kp_flat > 0).astype(jnp.int32), seg_flat.astype(jnp.int32), num_segments=num_models
+    )
+    return salience_levels_from_counts(kp_cnt, counts, level_kp_num, ground_level)
