@@ -17,6 +17,14 @@ def add_codec_args(parser: argparse.ArgumentParser, datalist: bool = False) -> N
         parser.add_argument("--workers", type=int, default=4, help="IO/entropy worker threads.")
         parser.add_argument("--batch", type=int, default=8, help="frames per device batch.")
         parser.add_argument("--output", action="store_true", help="verbose per-frame reports.")
+        parser.add_argument(
+            "--skip_existing", action="store_true",
+            help="resume: skip frames whose output file already exists.",
+        )
+        parser.add_argument(
+            "--keep_going", action="store_true",
+            help="failure isolation: log per-frame errors and continue.",
+        )
     else:
         parser.add_argument("--input", help="single frame input for static compression.")
         parser.add_argument("--output", help="output bitstream.")

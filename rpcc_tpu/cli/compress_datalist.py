@@ -49,14 +49,28 @@ def main() -> None:
     engine = BatchEngine(lidar, cfg, batch_size=args.batch, mesh=mesh, workers=args.workers)
 
     file_list = dataset.data_list
+    if args.skip_existing:
+        before = len(file_list)
+        file_list = [
+            f for f in file_list
+            if not os.path.exists(_existing_path(f, args.output_dir, "rpcc"))
+        ]
+        print(f"--skip_existing: {before - len(file_list)} done, {len(file_list)} to go")
     n = len(file_list)
     io_pool = futures.ThreadPoolExecutor(args.workers)
 
-    def load(idx: int) -> np.ndarray:
-        return load_point_cloud(file_list[idx])
+    def load(idx: int):
+        try:
+            return load_point_cloud(file_list[idx])
+        except Exception as e:  # failure isolation (--keep_going)
+            if not args.keep_going:
+                raise
+            print(f"ERROR loading {file_list[idx]}: {e}")
+            return np.zeros((1, 3), np.float32)
 
     t0 = time.time()
     done = 0
+    errors = 0
     pending = None  # (device handle, live, names)
     for start in range(0, n, args.batch):
         names = file_list[start : start + args.batch]
@@ -64,26 +78,43 @@ def main() -> None:
         seeds = [cfg.seed + start + i for i in range(len(clouds))]
         handle = engine.encode_batch_device(clouds, seeds)
         if pending is not None:
-            _drain(pending, engine, args)
+            errors += _drain(pending, engine, args)
             done += pending[1]
         pending = (handle[0], handle[1], names)
     if pending is not None:
-        _drain(pending, engine, args)
+        errors += _drain(pending, engine, args)
         done += pending[1]
 
     dt = time.time() - t0
-    print(f"\nCompressed {done} frames in {dt:.2f}s ({done / dt:.2f} frames/s)")
+    print(f"\nCompressed {done} frames in {dt:.2f}s ({done / dt:.2f} frames/s)"
+          + (f", {errors} errors" if errors else ""))
 
 
-def _drain(pending, engine, args) -> None:
+def _existing_path(file_name: str, output_dir: str, suffix: str) -> str:
+    file_name = file_name.strip()
+    if file_name and file_name[0] == "/":
+        file_name = file_name[1:]
+    out = os.path.join(output_dir, file_name)
+    return out.replace(out.split(".")[-1], suffix)
+
+
+def _drain(pending, engine, args) -> int:
     out, live, names = pending
+    errors = 0
     results = engine.finalize_encoded(out, live)
     for (blob, fields), name in zip(results, names):
-        path = output_path_for(name, args.output_dir, "rpcc")
-        with open(path, "wb") as f:
-            f.write(blob)
-        if args.output:
-            print("binary bitstream save in ", path)
+        try:
+            path = output_path_for(name, args.output_dir, "rpcc")
+            with open(path, "wb") as f:
+                f.write(blob)
+            if args.output:
+                print("binary bitstream save in ", path)
+        except Exception as e:
+            if not args.keep_going:
+                raise
+            errors += 1
+            print(f"ERROR writing output for {name}: {e}")
+    return errors
 
 
 if __name__ == "__main__":

@@ -6,16 +6,18 @@ cluster order (measured on KITTI: H(q) = 6.3 bits/symbol but H(Δq) = 2.36,
 vs bzip2's 2.49 achieved bits/symbol) — so the model here is **delta +
 zigzag + order-0 rANS**, which beats bzip2's ratio on the residual field
 while running as a TPU kernel (ops/rans.py) instead of serial host code.
+``compress_delta_batch`` entropy-codes a whole frame batch in one device
+call (one model per frame, lanes advance in lockstep across the batch).
 
 Integer fields (int16/uint16 ndarrays) take the delta-rANS path; small side
 fields (packed contour bits, float32 model table, salience bytes) fall back
 to bzip2 — they are a few KB and not worth a device round trip.
 
 Delta container layout (little-endian):
-  u8 magic 'D'   u8 log2(lanes)   u32 n_symbols   u16 first_symbol(raw zigzag of q0 is NOT stored; q0 itself)
-  u16 n_escapes  [u16 escape raw values ...]      (|Δ| >= ESCAPE_MIN, rare)
-  u16 n_present  [u16 symbol ids][u16 freqs]      (sparse normalized table)
-  u32 states[lanes]   u16 counts[lanes]   u16 words[sum(counts)]
+  u8 magic 'D'  u8 log2(lanes)  u16 T(steps/lane)  u32 n_symbols  i32 q0
+  u32 n_escapes [u32 escape zigzag values ...]     (|Δ| at/over ESCAPE, rare)
+  u16 n_present [u16 symbol ids][u16 freqs]        (sparse normalized table)
+  u32 states[lanes]  u16 counts[lanes]  u16 words[sum(counts)]  u8 dtype
 Bzip2 fallback: u8 magic 'B' + bzip2 stream.
 """
 
@@ -23,6 +25,7 @@ from __future__ import annotations
 
 import bz2
 import struct
+from typing import List, Sequence
 
 import numpy as np
 
@@ -33,6 +36,11 @@ MAGIC_BZ = 0x42  # 'B'
 ALPHABET = 512
 ESCAPE = ALPHABET - 1  # symbol id reserved for |delta| outside table range
 MAX_LANES = 128
+T_BUCKET = 16  # steps-per-lane rounded up to this, bounding jit variants
+
+# Fields above this size always take the device delta-rANS path; smaller
+# fields are cheap enough to try both and keep the smaller container.
+BIG_FIELD_BYTES = 64 * 1024
 
 
 def _lanes_for(n: int) -> int:
@@ -50,14 +58,9 @@ def _unzigzag(z: np.ndarray) -> np.ndarray:
     return np.where(z % 2 == 0, z // 2, -(z + 1) // 2).astype(np.int64)
 
 
-# Fields above this size always take the device delta-rANS path; smaller
-# fields are cheap enough to try both and keep the smaller container.
-BIG_FIELD_BYTES = 64 * 1024
-
-
 def compress(data, lanes: int | None = None) -> bytes:
     if isinstance(data, np.ndarray) and data.dtype in (np.int16, np.uint16, np.int32):
-        delta = _compress_delta(data, lanes)
+        delta = compress_delta_batch([data], lanes=lanes)[0]
         if data.nbytes > BIG_FIELD_BYTES:
             return delta
         bz = bytes([MAGIC_BZ]) + bz2.compress(data.tobytes())
@@ -70,56 +73,8 @@ def decompress(blob: bytes) -> bytes:
     if blob[0] == MAGIC_BZ:
         return bz2.decompress(blob[1:])
     if blob[0] == MAGIC_DELTA:
-        return _decompress_delta(blob)
+        return decompress_delta_batch([blob])[0]
     raise ValueError("unknown rans container magic")
-
-
-def _compress_delta(arr: np.ndarray, lanes: int | None) -> bytes:
-    dtype = arr.dtype
-    q = arr.astype(np.int64).reshape(-1)
-    n = q.shape[0]
-    if n == 0:
-        return struct.pack("<BBIi", MAGIC_DELTA, 0, 0, 0) + b"\x00\x00\x00\x00"
-    if lanes is None:
-        lanes = _lanes_for(n)
-
-    d = np.empty(n, np.int64)
-    d[0] = 0
-    d[1:] = np.diff(q)
-    zz = _zigzag(d)
-    esc_mask = zz >= ESCAPE
-    escapes = zz[esc_mask]
-    sym = np.where(esc_mask, ESCAPE, zz).astype(np.int32)
-
-    code, freqs = _r.encode_stream(
-        np.asarray(sym), ALPHABET, lanes
-    )
-    freqs = np.asarray(freqs).astype(np.int64)
-    counts = np.asarray(code.counts)
-    states = np.asarray(code.states).astype("<u4")
-    words = np.asarray(code.words)
-    packed_words = (
-        np.concatenate([words[i, : counts[i]] for i in range(lanes)]).astype("<u2")
-        if counts.sum()
-        else np.zeros(0, "<u2")
-    )
-
-    present = np.nonzero(freqs)[0]
-    out = [
-        struct.pack(
-            "<BBIi", MAGIC_DELTA, lanes.bit_length() - 1, n, int(q[0])
-        ),
-        struct.pack("<I", escapes.shape[0]),
-        escapes.astype("<u4").tobytes(),  # zigzag deltas can exceed u16
-        struct.pack("<H", present.shape[0]),
-        present.astype("<u2").tobytes(),
-        freqs[present].astype("<u2").tobytes(),
-        states.tobytes(),
-        counts.astype("<u2").tobytes(),
-        packed_words.tobytes(),
-        struct.pack("<B", _dtype_code(dtype)),
-    ]
-    return b"".join(out)
 
 
 def _dtype_code(dt) -> int:
@@ -129,11 +84,67 @@ def _dtype_code(dt) -> int:
 _CODE_DTYPE = {0: np.int16, 1: np.uint16, 2: np.int32}
 
 
-def _decompress_delta(blob: bytes) -> bytes:
-    magic, log_lanes, n, q0 = struct.unpack_from("<BBIi", blob, 0)
-    off = 10
-    if n == 0:
-        return b""
+def _symbolize(arr: np.ndarray):
+    """array -> (zigzag-delta symbols int32, escapes, q0, n)."""
+    q = arr.astype(np.int64).reshape(-1)
+    n = q.shape[0]
+    d = np.empty(n, np.int64)
+    if n:
+        d[0] = 0
+        d[1:] = np.diff(q)
+    zz = _zigzag(d)
+    esc_mask = zz >= ESCAPE
+    escapes = zz[esc_mask]
+    sym = np.where(esc_mask, ESCAPE, zz).astype(np.int32)
+    return sym, escapes, (int(q[0]) if n else 0), n
+
+
+def compress_delta_batch(arrays: Sequence[np.ndarray], lanes: int | None = None) -> List[bytes]:
+    """Entropy-code a batch of integer streams in ONE device rANS call."""
+    B = len(arrays)
+    per = [_symbolize(np.asarray(a)) for a in arrays]
+    n_max = max((p[3] for p in per), default=0)
+    if lanes is None:
+        lanes = _lanes_for(max(n_max, 1))
+    T = max(1, -(-n_max // lanes))
+    T = -(-T // T_BUCKET) * T_BUCKET
+    sym3d = np.zeros((B, lanes, T), np.int32)
+    for i, (sym, _, _, n) in enumerate(per):
+        sym3d[i].reshape(-1)[:n] = sym
+    code, freqs = _r.encode_streams_batch(sym3d, ALPHABET)
+    freqs_np = np.asarray(freqs).astype(np.int64)  # (B, A)
+    counts_np = np.asarray(code.counts)  # (B, L)
+    states_np = np.asarray(code.states).astype("<u4")  # (B, L)
+    words_np = np.asarray(code.words)  # (B, L, T)
+
+    out: List[bytes] = []
+    for i, (sym, escapes, q0, n) in enumerate(per):
+        cnts = counts_np[i]
+        packed_words = (
+            np.concatenate([words_np[i, j, : cnts[j]] for j in range(lanes)]).astype("<u2")
+            if cnts.sum()
+            else np.zeros(0, "<u2")
+        )
+        present = np.nonzero(freqs_np[i])[0]
+        parts = [
+            struct.pack("<BBHIi", MAGIC_DELTA, lanes.bit_length() - 1, T, n, q0),
+            struct.pack("<I", escapes.shape[0]),
+            escapes.astype("<u4").tobytes(),
+            struct.pack("<H", present.shape[0]),
+            present.astype("<u2").tobytes(),
+            freqs_np[i][present].astype("<u2").tobytes(),
+            states_np[i].tobytes(),
+            cnts.astype("<u2").tobytes(),
+            packed_words.tobytes(),
+            struct.pack("<B", _dtype_code(arrays[i].dtype)),
+        ]
+        out.append(b"".join(parts))
+    return out
+
+
+def _parse_delta(blob: bytes):
+    magic, log_lanes, T, n, q0 = struct.unpack_from("<BBHIi", blob, 0)
+    off = 12
     lanes = 1 << log_lanes
     (n_esc,) = struct.unpack_from("<I", blob, off)
     off += 4
@@ -155,20 +166,47 @@ def _decompress_delta(blob: bytes) -> bytes:
     packed = np.frombuffer(blob, "<u2", n_words, off).astype(np.uint16)
     off += 2 * n_words
     (dt_code,) = struct.unpack_from("<B", blob, off)
+    return lanes, T, n, q0, escapes, freqs, states, counts, packed, dt_code
 
-    T = max(1, -(-n // lanes))
-    words = np.zeros((lanes, T), np.uint16)
-    c = 0
-    for i in range(lanes):
-        words[i, : counts[i]] = packed[c : c + counts[i]]
-        c += counts[i]
+
+def decompress_delta_batch(blobs: Sequence[bytes]) -> List[bytes]:
+    """Decode a batch of delta containers in ONE device rANS call.
+
+    Frames may have different encoded T; decoding runs max(T) forward steps —
+    steps beyond a frame's own T produce discarded symbols (rANS decoding is
+    forward-causal, so earlier outputs are unaffected).
+    """
+    B = len(blobs)
+    parsed = [_parse_delta(b) for b in blobs]
+    lanes = parsed[0][0]
+    assert all(p[0] == lanes for p in parsed), "mixed lane counts in one batch"
+    T_max = max(p[1] for p in parsed)
+    words = np.zeros((B, lanes, T_max), np.uint16)
+    counts = np.zeros((B, lanes), np.int32)
+    states = np.zeros((B, lanes), np.uint32)
+    for i, (_, T, n, q0, esc, freqs_i, st, cnt, packed, dt) in enumerate(parsed):
+        c = 0
+        for j in range(lanes):
+            words[i, j, : cnt[j]] = packed[c : c + cnt[j]]
+            c += cnt[j]
+        counts[i] = cnt
+        states[i] = st
+    freqs = np.stack([p[5] for p in parsed])
     code = _r.RansCode(words, counts, states)
-    sym = np.asarray(_r.decode_stream(code, np.asarray(freqs), T))[:n].astype(np.int64)
+    sym_all = np.asarray(_r.decode_streams_batch(code, freqs, T_max))  # (B, L*T_max)
 
-    zz = sym.copy()
-    if n_esc:
-        zz[sym == ESCAPE] = escapes
-    d = _unzigzag(zz)
-    d[0] = 0
-    q = q0 + np.cumsum(d)
-    return q.astype(_CODE_DTYPE[dt_code]).tobytes()
+    out: List[bytes] = []
+    for i, (_, T, n, q0, escapes, _f, _s, _c, _p, dt_code) in enumerate(parsed):
+        if n == 0:
+            out.append(b"")
+            continue
+        sym2d = sym_all[i].reshape(lanes, T_max)[:, :T].reshape(-1)
+        sym = sym2d[:n].astype(np.int64)
+        zz = sym.copy()
+        if escapes.shape[0]:
+            zz[sym == ESCAPE] = escapes
+        d = _unzigzag(zz)
+        d[0] = 0
+        q = q0 + np.cumsum(d)
+        out.append(q.astype(_CODE_DTYPE[dt_code]).tobytes())
+    return out

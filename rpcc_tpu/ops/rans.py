@@ -159,3 +159,38 @@ def decode_stream(code: RansCode, freqs: jnp.ndarray, T: int) -> jnp.ndarray:
     cum = cumulative(freqs)
     s2s = slot_to_symbol(freqs)
     return rans_decode(code, freqs, cum, s2s, T).reshape(-1)
+
+
+# ------------------------------------------------------- batched (per frame)
+def _hist_sorted(sym: jnp.ndarray, alphabet: int) -> jnp.ndarray:
+    """(N,) symbols -> (A,) counts via sort + searchsorted (vmap-friendly:
+    a scatter-add histogram crawls the TPU scalar core)."""
+    s = jnp.sort(sym)
+    ids = jnp.arange(alphabet + 1, dtype=sym.dtype)
+    bounds = jnp.searchsorted(s, ids, side="left")
+    return (bounds[1:] - bounds[:-1]).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("alphabet",))
+def encode_streams_batch(sym3d: jnp.ndarray, alphabet: int):
+    """Encode (B, L, T) int32 symbols: per-frame model, all frames in one call.
+
+    Returns (RansCode with (B, L, T)/(B, L) leaves, freqs (B, A)).
+    """
+    B = sym3d.shape[0]
+    counts = jax.vmap(lambda s: _hist_sorted(s.reshape(-1), alphabet))(sym3d)
+    freqs = jax.vmap(normalize_freqs)(counts)
+    cums = jax.vmap(cumulative)(freqs)
+    code = jax.vmap(rans_encode)(sym3d, freqs, cums)
+    return code, freqs
+
+
+@functools.partial(jax.jit, static_argnames=("T",))
+def decode_streams_batch(code: RansCode, freqs: jnp.ndarray, T: int) -> jnp.ndarray:
+    """Decode (B, L, *) codes back to (B, L*T) int32 symbols."""
+    cums = jax.vmap(cumulative)(freqs)
+    s2s = jax.vmap(slot_to_symbol)(freqs)
+    sym = jax.vmap(lambda c, f, cu, s: rans_decode(c, f, cu, s, T))(
+        code, freqs, cums, s2s
+    )
+    return sym.reshape(sym.shape[0], -1)

@@ -81,6 +81,17 @@ class BatchEngine:
         models = np.asarray(out.model_param)
         salience = None if out.salience is None else np.asarray(out.salience)
 
+        # With the device rANS coder, the dominant field (residuals) for the
+        # whole batch is entropy-coded in one device call; side fields go to
+        # the host pool.
+        resid_blobs = None
+        if self.cfg.basic_compressor == "rans":
+            from rpcc_tpu.codec import rans_codec
+
+            resid_blobs = rans_codec.compress_delta_batch(
+                [stream[i, : stream_len[i]].astype(np.int16) for i in range(live)]
+            )
+
         def one(i: int) -> Tuple[bytes, Dict[str, np.ndarray]]:
             fields = {
                 "residual_quantized": stream[i, : stream_len[i]].astype(np.int16),
@@ -90,7 +101,15 @@ class BatchEngine:
             }
             if salience is not None:
                 fields["salience_level"] = salience[i].astype(np.uint8)
-            compressed = self.entropy.compress_dict(fields)
+            if resid_blobs is None:
+                compressed = self.entropy.compress_dict(fields)
+            else:
+                compressed = {
+                    k: self.entropy.compress(v)
+                    for k, v in fields.items()
+                    if k != "residual_quantized"
+                }
+                compressed["residual_quantized"] = resid_blobs[i]
             return pack_bitstream(compressed, uniform=self.cfg.uniform), fields
 
         return list(self._pool.map(one, range(live)))
@@ -115,10 +134,23 @@ class BatchEngine:
         models = np.zeros((b, nm, 4), np.float32)
         sal = np.zeros((b, nm), np.int32)
 
-        def one(i: int):
-            fields = self.entropy.decompress_dict(
-                unpack_bitstream(blobs[i], uniform=self.cfg.uniform)
+        packed = [unpack_bitstream(b, uniform=self.cfg.uniform) for b in blobs]
+        resid_bytes = None
+        if self.cfg.basic_compressor == "rans":
+            from rpcc_tpu.codec import rans_codec
+
+            resid_bytes = rans_codec.decompress_delta_batch(
+                [p["residual_quantized"] for p in packed]
             )
+
+        def one(i: int):
+            fields = {
+                k: self.entropy.decompress(v)
+                for k, v in packed[i].items()
+                if resid_bytes is None or k != "residual_quantized"
+            }
+            if resid_bytes is not None:
+                fields["residual_quantized"] = resid_bytes[i]
             bits = np.unpackbits(np.frombuffer(fields["contour_map"], np.uint8))
             contour[i] = bits[:hw].reshape(self.H, self.W)
             s = np.frombuffer(fields["idx_sequence"], np.uint16).astype(np.int32)

@@ -1,0 +1,65 @@
+"""Golden determinism tests on the real KITTI example frame (CPU backend).
+
+Locks the encoder's observable behavior: bitstream byte-determinism across
+runs, the bpp operating point staying in the expected band, and decode being
+an exact inverse.  (Absolute bpp can move when the algorithm legitimately
+changes — the band is wide; the determinism checks are strict.)
+"""
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+from rpcc_tpu.config import CodecConfig, LidarConfig
+from rpcc_tpu.data import __lidar_cfg__
+from rpcc_tpu.models.pipeline import RPCCCodec
+
+EXAMPLE = "/root/reference/assets/example_data/example.bin"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(EXAMPLE), reason="example frame not available"
+)
+
+
+@pytest.fixture(scope="module")
+def codec_and_frame():
+    from rpcc_tpu.data.pointcloud_io import load_point_cloud
+
+    lidar = LidarConfig.from_yaml(__lidar_cfg__["Velodyne64E"], name="Velodyne64E")
+    cfg = CodecConfig()  # uniform, point, FPS, bzip2, accuracy 0.02
+    return RPCCCodec(lidar, cfg), load_point_cloud(EXAMPLE)
+
+
+def test_kitti_example_operating_point(codec_and_frame):
+    codec, pc = codec_and_frame
+    blob, fields, _ = codec.compress(pc)
+    ri = np.asarray(codec.encode_device(pc).range_image)
+    n_pts = int((ri > 0).sum())
+    bpp = len(blob) * 8 / n_pts
+    # Reference paper's uniform point @0.02 sits at ~3.66 bpp; ours ~3.1.
+    assert 2.0 < bpp < 4.5, f"bpp {bpp} drifted out of band"
+
+    pc_rec, ri_rec, _ = codec.decompress(blob)
+    err = np.abs(ri_rec - ri)
+    assert err.max() <= codec.cfg.step + 1e-5
+    assert (ri_rec[ri == 0] == 0).all()
+
+
+def test_kitti_example_bitstream_deterministic(codec_and_frame):
+    codec, pc = codec_and_frame
+    h = []
+    for _ in range(2):
+        blob, _, _ = codec.compress(pc)
+        h.append(hashlib.sha256(blob).hexdigest())
+    assert h[0] == h[1]
+
+
+def test_seed_changes_bitstream(codec_and_frame):
+    codec, pc = codec_and_frame
+    out0 = codec.encode_device(pc, seed=0)
+    out1 = codec.encode_device(pc, seed=1)
+    # Different RANSAC/FPS seeds must still produce a valid bound; streams
+    # will generally differ (segmentation is seeded).
+    assert int(out0.stream_len) > 0 and int(out1.stream_len) > 0
