@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from rpcc_tpu.config import CodecConfig, LidarConfig
-from rpcc_tpu.ops.contour import recover_map
+from rpcc_tpu.ops.contour import recover_map, unpack_bits_msb
 from rpcc_tpu.ops.projection import build_transform_planes
 from rpcc_tpu.ops.stream import (
     expand_per_cluster,
@@ -53,7 +53,7 @@ def build_decode_fn(lidar: LidarConfig, cfg: CodecConfig):
     num_models = num_model_rows(cfg)
 
     def decode(
-        contour: jnp.ndarray,
+        contour_packed: jnp.ndarray,  # (HW/8,) u8 packbits
         sequence: jnp.ndarray,
         stream: jnp.ndarray,
         model_param: jnp.ndarray,
@@ -69,7 +69,8 @@ def build_decode_fn(lidar: LidarConfig, cfg: CodecConfig):
         order.  The stream tail (zero-pixel class, q padded 0, model row 1
         all-zero) reconstructs exact depth-0 pixels.
         """
-        seg = recover_map(contour.astype(jnp.int32), sequence)
+        contour = unpack_bits_msb(contour_packed, hw).reshape(H, W)
+        seg = recover_map(contour, sequence.astype(jnp.int32))
         seg_flat = seg.reshape(-1)
         order, (tx_s, ty_s, tz_s) = stream_sort(
             seg_flat,

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from rpcc_tpu.config import CodecConfig, LidarConfig
-from rpcc_tpu.ops.contour import extract_contour
+from rpcc_tpu.ops.contour import extract_contour, pack_bits_msb
 from rpcc_tpu.ops.features import extract_features_with_segment, salience_levels_from_counts
 from rpcc_tpu.ops.modeling import plane_models_stream, point_model_table
 from rpcc_tpu.ops.projection import build_transform_planes, project_points
@@ -52,8 +52,8 @@ class EncoderOutput(NamedTuple):
     model_param: jnp.ndarray  # (M, 4) f32; row 0 = ground plane
     stream: jnp.ndarray  # (HW,) i16 quantized residuals, tail-padded
     stream_len: jnp.ndarray  # () i32
-    contour: jnp.ndarray  # (H, W) u8
-    sequence: jnp.ndarray  # (HW,) i32 run values, tail-padded
+    contour_packed: jnp.ndarray  # (HW/8,) u8, np.packbits-compatible (MSB first)
+    sequence: jnp.ndarray  # (HW,) u16 run values, tail-padded
     seq_len: jnp.ndarray  # () i32
     salience: Optional[jnp.ndarray]  # (M,) u8 or None (uniform)
     key_point_map: Optional[jnp.ndarray]  # (H, W) i32 or None
@@ -159,8 +159,8 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
             model_param=model_param,
             stream=q.astype(jnp.int16),  # reference casts int16 (compress_utils.py:142)
             stream_len=order.stream_len,
-            contour=code.contour.astype(jnp.uint8),
-            sequence=code.sequence,
+            contour_packed=pack_bits_msb(code.contour),
+            sequence=code.sequence.astype(jnp.uint16),  # reference casts uint16 (:160)
             seq_len=code.seq_len,
             salience=salience,
             key_point_map=kp_map,

@@ -93,11 +93,10 @@ class RPCCCodec:
         stream_len = int(out.stream_len)
         seq_len = int(out.seq_len)
         stream = np.asarray(out.stream[:stream_len])  # int16 already
-        contour = np.asarray(out.contour).astype(bool)
         fields = {
             "residual_quantized": stream.astype(np.int16),
-            "contour_map": np.packbits(contour, axis=None).astype(np.uint8),
-            "idx_sequence": np.asarray(out.sequence[:seq_len]).astype(np.uint16),
+            "contour_map": np.asarray(out.contour_packed),  # packed on device
+            "idx_sequence": np.asarray(out.sequence[:seq_len]),  # uint16 already
             "plane_param": np.asarray(out.model_param).astype(np.float32),
         }
         if out.salience is not None:
@@ -130,8 +129,7 @@ class RPCCCodec:
     def fields_to_device(self, fields: Dict[str, bytes]):
         """Entropy-decoded field bytes -> padded device input arrays."""
         hw = self.hw
-        contour_bits = np.unpackbits(np.frombuffer(fields["contour_map"], np.uint8))
-        contour = contour_bits[:hw].reshape(self.H, self.W).astype(np.uint8)
+        contour = np.frombuffer(fields["contour_map"], np.uint8)  # device unpacks
         seq = np.frombuffer(fields["idx_sequence"], np.uint16).astype(np.int32)
         seq_pad = np.zeros((hw,), np.int32)
         seq_pad[: seq.shape[0]] = seq

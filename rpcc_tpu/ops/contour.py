@@ -42,6 +42,26 @@ def extract_contour(seg: jnp.ndarray) -> ContourCode:
     return ContourCode(contour, jnp.where(live, sequence, 0), seq_len)
 
 
+def pack_bits_msb(bits: jnp.ndarray) -> jnp.ndarray:
+    """np.packbits(axis=None) equivalent on device: (...,) {0,1} -> (N/8,) u8.
+
+    One (N/8, 8) @ (8,) contraction instead of a 2MB/frame download of raw
+    bit bytes.  Total bit count must be a multiple of 8 (range images are).
+    """
+    flat = bits.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    assert n % 8 == 0, "bit count must be a multiple of 8"
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return jnp.sum(flat.reshape(n // 8, 8) * weights, axis=-1).astype(jnp.uint8)
+
+
+def unpack_bits_msb(packed: jnp.ndarray, n_bits: int) -> jnp.ndarray:
+    """Inverse of :func:`pack_bits_msb` -> (n_bits,) int32 {0,1}."""
+    shifts = jnp.asarray([7, 6, 5, 4, 3, 2, 1, 0], jnp.int32)
+    bits = (packed.astype(jnp.int32)[:, None] >> shifts) & 1
+    return bits.reshape(-1)[:n_bits]
+
+
 def recover_map(contour: jnp.ndarray, sequence: jnp.ndarray) -> jnp.ndarray:
     """Invert :func:`extract_contour`.  ``sequence`` may be tail-padded.
 

@@ -29,21 +29,57 @@ import jax
 import jax.numpy as jnp
 
 
+def smallest_eigvec_3x3(a: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of a symmetric 3x3.
+
+    Closed form (trigonometric eigenvalues + cross-product eigenvector):
+    a few dozen elementwise ops instead of ``jnp.linalg.eigh``'s iterative QR
+    — ~100x smaller HLO (compile time) and faster at runtime, at f32
+    plane-fit accuracy (errors land in the coded residual stream anyway).
+    """
+    scale = jnp.maximum(jnp.max(jnp.abs(a)), 1e-30)
+    a = a / scale
+    q = jnp.trace(a) / 3.0
+    p1 = a[0, 1] ** 2 + a[0, 2] ** 2 + a[1, 2] ** 2
+    b_diag = jnp.diag(a) - q
+    p2 = jnp.sum(b_diag**2) + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    b = (a - q * jnp.eye(3, dtype=a.dtype)) / p
+    detb = (
+        b[0, 0] * (b[1, 1] * b[2, 2] - b[1, 2] * b[2, 1])
+        - b[0, 1] * (b[1, 0] * b[2, 2] - b[1, 2] * b[2, 0])
+        + b[0, 2] * (b[1, 0] * b[2, 1] - b[1, 1] * b[2, 0])
+    )
+    r = jnp.clip(detb / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
+
+    m = a - lam_min * jnp.eye(3, dtype=a.dtype)
+    c01 = jnp.cross(m[0], m[1])
+    c02 = jnp.cross(m[0], m[2])
+    c12 = jnp.cross(m[1], m[2])
+    n01, n02, n12 = (jnp.sum(c01**2), jnp.sum(c02**2), jnp.sum(c12**2))
+    best = jnp.argmax(jnp.stack([n01, n02, n12]))
+    v = jnp.stack([c01, c02, c12])[best]
+    nrm = jnp.sqrt(jnp.maximum(n01, jnp.maximum(n02, n12)))
+    # Degenerate (isotropic) covariance: any direction is an eigenvector.
+    v = jnp.where(nrm > 1e-20, v / jnp.maximum(jnp.sqrt(nrm), 1e-30), jnp.array([0.0, 0.0, 1.0], a.dtype))
+    return v
+
+
 def fit_plane_weighted(points: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """Least-squares plane for (M, 3) points with (M,) nonneg weights.
 
     Returns normalized ``[a, b, c, d]`` with ``||(a,b,c)|| = 1`` and
     ``a*x + b*y + c*z + d = 0``; the normal is the smallest-eigenvalue
-    eigenvector of the weighted covariance.
+    eigenvector of the weighted covariance (closed-form 3x3).
     """
     wsum = jnp.maximum(jnp.sum(weights), 1e-12)
     w = weights / wsum
     centroid = jnp.sum(points * w[:, None], axis=0)
     centered = (points - centroid) * jnp.sqrt(w)[:, None]
     cov = centered.T @ centered  # (3, 3)
-    # eigh returns ascending eigenvalues; the plane normal is eigvec 0.
-    _, eigvecs = jnp.linalg.eigh(cov)
-    normal = eigvecs[:, 0]
+    normal = smallest_eigvec_3x3(cov)
     norm = jnp.maximum(jnp.linalg.norm(normal), 1e-12)
     normal = normal / norm
     d = -jnp.dot(normal, centroid)

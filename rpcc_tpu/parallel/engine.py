@@ -75,7 +75,7 @@ class BatchEngine:
         out = jax.block_until_ready(out)
         stream = np.asarray(out.stream)
         stream_len = np.asarray(out.stream_len)
-        contour = np.asarray(out.contour).astype(bool)
+        contour_packed = np.asarray(out.contour_packed)
         seq = np.asarray(out.sequence)
         seq_len = np.asarray(out.seq_len)
         models = np.asarray(out.model_param)
@@ -95,8 +95,8 @@ class BatchEngine:
         def one(i: int) -> Tuple[bytes, Dict[str, np.ndarray]]:
             fields = {
                 "residual_quantized": stream[i, : stream_len[i]].astype(np.int16),
-                "contour_map": np.packbits(contour[i], axis=None).astype(np.uint8),
-                "idx_sequence": seq[i, : seq_len[i]].astype(np.uint16),
+                "contour_map": contour_packed[i],
+                "idx_sequence": seq[i, : seq_len[i]],
                 "plane_param": models[i].astype(np.float32),
             }
             if salience is not None:
@@ -128,7 +128,7 @@ class BatchEngine:
         from rpcc_tpu.models.encoder import num_model_rows
 
         nm = num_model_rows(self.cfg)
-        contour = np.zeros((b, self.H, self.W), np.uint8)
+        contour = np.zeros((b, hw // 8), np.uint8)  # packed; device unpacks
         seq = np.zeros((b, hw), np.int32)
         stream = np.zeros((b, hw), np.int32)
         models = np.zeros((b, nm, 4), np.float32)
@@ -151,8 +151,7 @@ class BatchEngine:
             }
             if resid_bytes is not None:
                 fields["residual_quantized"] = resid_bytes[i]
-            bits = np.unpackbits(np.frombuffer(fields["contour_map"], np.uint8))
-            contour[i] = bits[:hw].reshape(self.H, self.W)
+            contour[i] = np.frombuffer(fields["contour_map"], np.uint8)
             s = np.frombuffer(fields["idx_sequence"], np.uint16).astype(np.int32)
             seq[i, : s.shape[0]] = s
             q = np.frombuffer(fields["residual_quantized"], np.int16).astype(np.int32)
