@@ -29,10 +29,21 @@ def main() -> None:
 
     from rpcc_tpu.parallel import BatchEngine, data_mesh
 
+    import os
+
     with open(args.datalist) as f:
         file_list = [line.strip() for line in f if line.strip()]
     for fp in file_list:
         assert fp.split(".")[-1] == "rpcc", f"expected .rpcc input, got {fp}"
+    if args.skip_existing:
+        from rpcc_tpu.cli.compress_datalist import _existing_path
+
+        before = len(file_list)
+        file_list = [
+            f for f in file_list
+            if not os.path.exists(_existing_path(f, args.output_dir, "bin"))
+        ]
+        print(f"--skip_existing: {before - len(file_list)} done, {len(file_list)} to go")
 
     mesh = data_mesh() if len(jax.devices()) > 1 else None
     engine = BatchEngine(lidar, cfg, batch_size=args.batch, mesh=mesh, workers=args.workers)
@@ -42,8 +53,14 @@ def main() -> None:
     done = 0
     for start in range(0, len(file_list), args.batch):
         names = file_list[start : start + args.batch]
-        blobs = [open(fp, "rb").read() for fp in names]
-        pcs = engine.decode_blobs(blobs)
+        try:
+            blobs = [open(fp, "rb").read() for fp in names]
+            pcs = engine.decode_blobs(blobs)
+        except Exception as e:
+            if not args.keep_going:
+                raise
+            print(f"ERROR decoding batch at {names[0]}: {e}")
+            continue
 
         def write(i: int) -> None:
             path = output_path_for(names[i], args.output_dir, "bin")

@@ -41,20 +41,20 @@ GAP_THRESHOLD = 0.3  # cpp_modules.cpp:11
 
 
 def _row_compact(values: jnp.ndarray, valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-row stable compaction of valid pixels.
+    """Per-row stable compaction of valid pixels — one row-wise sort
+    (valid-first, column order preserved), no per-row scatters.
 
     Returns (compacted values (H, W) zero-padded, original column of each
     slot (H, W), per-row valid count (H,)).
     """
     H, W = values.shape
-    rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1  # (H, W)
-    dest = jnp.where(valid, rank, W)  # invalid -> dropped
-    comp = jnp.zeros((H, W), values.dtype)
-    comp = jax.vmap(lambda c, d, v: c.at[d].set(v, mode="drop"))(comp, dest, values)
-    cols = jnp.zeros((H, W), jnp.int32)
     col_iota = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (H, W))
-    cols = jax.vmap(lambda c, d, v: c.at[d].set(v, mode="drop"))(cols, dest, col_iota)
+    key = jnp.where(valid, col_iota, W + col_iota)  # invalid pushed back, stable
+    _, comp, cols = jax.lax.sort(
+        (key, values, col_iota), dimension=1, num_keys=1, is_stable=True
+    )
     counts = jnp.sum(valid.astype(jnp.int32), axis=1)
+    comp = jnp.where(col_iota < counts[:, None], comp, 0)
     return comp, cols, counts
 
 

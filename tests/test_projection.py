@@ -124,3 +124,53 @@ def test_backprojection_roundtrip_error_bounded():
     both = (a > 0) & (b > 0)
     assert both.sum() > 0.95 * (a > 0).sum()
     np.testing.assert_allclose(a[both], b[both], rtol=1e-5)
+
+
+UNEVEN = LidarConfig(
+    name="uneven32",
+    horizontal_fov_deg=360.0,
+    vertical_angle_max_deg=10.67,
+    vertical_angle_min_deg=-30.67,
+    height=8,
+    width=512,
+    vertical_angles_deg=tuple(float(10.0 - 5.5 * i) for i in range(8)),
+)
+
+
+def test_uneven_channel_projection_rows_by_nearest_angle():
+    """Uneven LiDARs bin rows by nearest channel angle (transformer.py:82-83)."""
+    import jax.numpy as jnp_
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    # points exactly on channel angles 2 and 5
+    for ch in (2, 5):
+        ang = math.radians(UNEVEN.vertical_angles_deg[ch])
+        depth = rng.uniform(5, 40, n)
+        az = rng.uniform(0, 2 * np.pi, n)
+        pc = np.stack(
+            [depth * np.cos(ang) * np.cos(az), depth * np.cos(ang) * np.sin(az),
+             depth * np.sin(ang)], -1).astype(np.float32)
+        v = jnp_.asarray(np.radians(np.asarray(UNEVEN.vertical_angles_deg)), jnp_.float32)
+        ri = np.asarray(project_points(jnp_.asarray(pc), UNEVEN, v))
+        occupied_rows = np.where((ri > 0).any(axis=1))[0]
+        assert occupied_rows.tolist() == [ch]
+
+
+def test_uneven_roundtrip_through_codec():
+    from rpcc_tpu.config import CodecConfig
+    from rpcc_tpu.models.pipeline import RPCCCodec
+
+    rng = np.random.default_rng(8)
+    n = 4000
+    depth = rng.uniform(3, 50, n)
+    az = rng.uniform(0, 2 * np.pi, n)
+    el = np.radians(rng.choice(np.asarray(UNEVEN.vertical_angles_deg), n))
+    pc = np.stack(
+        [depth * np.cos(el) * np.cos(az), depth * np.cos(el) * np.sin(az),
+         depth * np.sin(el)], -1).astype(np.float32)
+    codec = RPCCCodec(UNEVEN, CodecConfig(cluster_num=8))
+    blob, _, _ = codec.compress(pc)
+    pc_rec, ri_rec, _ = codec.decompress(blob)
+    ri = np.asarray(codec.encode_device(pc).range_image)
+    assert np.abs(ri_rec - ri).max() <= codec.cfg.step + 1e-5
