@@ -55,8 +55,13 @@ def furthest_point_sample_planar(
 
 @functools.partial(jax.jit, static_argnames=("num_samples",))
 def furthest_point_sample(points: jnp.ndarray, num_samples: int) -> jnp.ndarray:
-    """(N, 3) convenience wrapper (CUDA-op-compatible semantics,
-    ``sampling_gpu.cu:43-68``): seed index 0, lowest index wins ties."""
+    """(N, 3) or batched (B, N, 3) wrapper (CUDA-op-compatible semantics,
+    ``sampling_gpu.cu:43-68`` / ``ops/fps/fps_utils.py:10-36``): seed index
+    0, lowest index wins ties; batched input returns (B, num_samples)."""
+    if points.ndim == 3:
+        return jax.vmap(
+            lambda p: furthest_point_sample_planar(p[:, 0], p[:, 1], p[:, 2], num_samples)
+        )(points)
     return furthest_point_sample_planar(
         points[:, 0], points[:, 1], points[:, 2], num_samples
     )

@@ -40,6 +40,32 @@ GROUND_RANSAC_N = 10  # :75
 GROUND_RANSAC_ITERS = 100  # :75
 
 
+def segment_index_clean(seg_idx: jnp.ndarray) -> jnp.ndarray:
+    """Remove 1-pixel salt from a seg map (``cpp_modules.cpp:226-246``).
+
+    The C++ walks each row left-to-right **in place**: if ``v[w+2] == v[w]``
+    and ``v[w+1] != v[w]`` then ``v[w+1] = v[w]`` — where ``v[w]`` may itself
+    have just been rewritten.  A ``lax.scan`` carrying the updated previous
+    value reproduces the cascade exactly (reads of w+1/w+2 are always
+    original values since writes only ever target w+1).
+    """
+    H, W = seg_idx.shape
+    orig = seg_idx
+
+    def row_fix(row):
+        def step(prev, w):
+            nxt = row[w + 1]
+            nxt2 = row[w + 2]
+            new_nxt = jnp.where((nxt2 == prev) & (nxt != prev), prev, nxt)
+            return new_nxt, new_nxt
+
+        first = row[0]
+        _, fixed = jax.lax.scan(step, first, jnp.arange(W - 2))
+        return jnp.concatenate([row[:1], fixed, row[W - 1 :]])
+
+    return jax.vmap(row_fix)(orig)
+
+
 class SegmentResult(NamedTuple):
     seg_idx: jnp.ndarray  # (H, W) int32: 0 ground, 1 zero pixels, 2.. clusters
     ground_model: jnp.ndarray  # (4,) normalized plane

@@ -173,3 +173,31 @@ def test_contour_roundtrip_random():
     code = extract_contour(jnp.asarray(seg))
     rec = recover_map(code.contour, code.sequence)
     np.testing.assert_array_equal(np.asarray(rec), seg)
+
+
+def test_segment_index_clean_matches_inplace_cascade():
+    from rpcc_tpu.ops.segment import segment_index_clean
+
+    rng = np.random.default_rng(9)
+    seg = rng.integers(0, 5, (6, 40)).astype(np.int32)
+
+    # direct port of the in-place C++ loop (cpp_modules.cpp:232-243)
+    ref = seg.copy()
+    h, w = ref.shape
+    for r in range(h):
+        for c in range(w - 2):
+            cur, nxt, nxt2 = ref[r, c], ref[r, c + 1], ref[r, c + 2]
+            if nxt2 == cur and nxt != cur:
+                ref[r, c + 1] = cur
+
+    ours = np.asarray(segment_index_clean(jnp.asarray(seg)))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_fps_batched_wrapper():
+    rng = np.random.default_rng(10)
+    pts = rng.uniform(-5, 5, (3, 200, 3)).astype(np.float32)
+    out = np.asarray(furthest_point_sample(jnp.asarray(pts), 8))
+    assert out.shape == (3, 8)
+    for b in range(3):
+        np.testing.assert_array_equal(out[b], numpy_fps(pts[b], 8))
