@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,9 +107,32 @@ def project_points(
 
     valid = depth > 0.0
     flat_idx = row * W + col
-    scatter_val = jnp.where(valid, depth, jnp.inf)
-    ri = jnp.full((H * W,), jnp.inf, dtype=jnp.float32)
-    ri = ri.at[flat_idx].min(scatter_val, mode="drop")
+    return _scatter_min_image(flat_idx, depth, valid, H, W)
+
+
+def _scatter_min_image(
+    flat_idx: jnp.ndarray, depth: jnp.ndarray, valid: jnp.ndarray, H: int, W: int
+) -> jnp.ndarray:
+    """Keep-nearest rasterization without an XLA scatter.
+
+    A scatter-min over the pixel grid crawls the TPU scalar core (~8.6ns per
+    index, half the encoder's device time); instead, sort (pixel_key, depth)
+    over the points plus one +inf filler per pixel — each pixel's run head is
+    then its min depth (first point wins exact ties, matching the C++
+    keep-nearest loop, cpp_modules.cpp:459-460), head ranks are exactly pixel
+    ids, and one stable compaction sort lays the heads out in pixel order.
+    """
+    hw = H * W
+    key_pts = jnp.where(valid, flat_idx, hw).astype(jnp.int32)
+    keys = jnp.concatenate([key_pts, jnp.arange(hw, dtype=jnp.int32)])
+    depths = jnp.concatenate(
+        [jnp.where(valid, depth, jnp.inf), jnp.full((hw,), jnp.inf, jnp.float32)]
+    )
+    k1, d1 = jax.lax.sort((keys, depths), num_keys=2, is_stable=True)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), k1[:-1]])
+    head = (k1 != prev).astype(jnp.int32)
+    _, dheads = jax.lax.sort((1 - head, d1), num_keys=1, is_stable=True)
+    ri = dheads[:hw]
     ri = jnp.where(jnp.isinf(ri), 0.0, ri)
     return ri.reshape(H, W)
 
