@@ -20,6 +20,10 @@ from rpcc_tpu.data.pointcloud_io import load_point_cloud
 def main() -> None:
     parser = argparse.ArgumentParser()
     add_codec_args(parser)
+    parser.add_argument(
+        "--profile", action="store_true",
+        help="capture a device trace of one encode and print per-op timings.",
+    )
     args = parser.parse_args()
     print_args(args)
 
@@ -54,6 +58,19 @@ def main() -> None:
     print("    Save binary file: ", times["framing"] + (t_save - t_load - sum(times.values())))
     print("    Total time cost: ", t_save - t_init)
     print("    Total time cost without loading data: ", t_save - t_load)
+
+    if args.profile:
+        import tempfile
+
+        import jax
+
+        from rpcc_tpu.utils.profiling import print_trace_summary
+
+        with tempfile.TemporaryDirectory() as td:
+            jax.profiler.start_trace(td)
+            jax.block_until_ready(codec.encode_device(points))
+            jax.profiler.stop_trace()
+            print_trace_summary(td)
 
     # BPP accounting matches the reference (nonzero projected points,
     # tools/compress.py:152-155).
