@@ -65,19 +65,20 @@ def main() -> None:
         jax.block_until_ready(engine._encode_b(pts16, seeds16, step16))
     device_fps = 3 * BATCH / (time.perf_counter() - t0) / n_chips
 
-    # E2E throughput: double-buffered loop — dispatch batch i+1 before
-    # finalizing batch i so host entropy overlaps device compute.  Per-batch
-    # times are noisy on a tunneled dev rig; report the median batch rate.
+    # E2E throughput: 3-stage pipeline — uploads run on the engine's
+    # uploader thread (IO wait overlaps host entropy), device compute runs
+    # async, entropy finalization on the main thread.  Per-batch times are
+    # noisy on a tunneled dev rig; report the median batch rate.
     batch_times = []
-    pending = engine.encode_batch_device(clouds, seeds=range(BATCH))
+    pending = engine.encode_batch_async(clouds, seeds=range(BATCH))
     for i in range(1, BATCHES_TIMED):
         t0 = time.perf_counter()
-        nxt = engine.encode_batch_device(clouds, seeds=range(i * BATCH, (i + 1) * BATCH))
-        engine.finalize_encoded(*pending)
+        nxt = engine.encode_batch_async(clouds, seeds=range(i * BATCH, (i + 1) * BATCH))
+        engine.finalize_encoded(*pending.result())
         pending = nxt
         batch_times.append(time.perf_counter() - t0)
     t0 = time.perf_counter()
-    engine.finalize_encoded(*pending)
+    engine.finalize_encoded(*pending.result())
     batch_times.append(time.perf_counter() - t0)
     batch_times.sort()
     median_bt = batch_times[len(batch_times) // 2]

@@ -71,19 +71,21 @@ def main() -> None:
     t0 = time.time()
     done = 0
     errors = 0
-    pending = None  # (device handle, live, names)
+    pending = None  # (future -> (device handle, live), names)
     for start in range(0, n, args.batch):
         names = file_list[start : start + args.batch]
         clouds = list(io_pool.map(load, range(start, min(start + args.batch, n))))
         seeds = [cfg.seed + start + i for i in range(len(clouds))]
-        handle = engine.encode_batch_device(clouds, seeds)
+        fut = engine.encode_batch_async(clouds, seeds)
         if pending is not None:
-            errors += _drain(pending, engine, args)
-            done += pending[1]
-        pending = (handle[0], handle[1], names)
+            out, live = pending[0].result()
+            errors += _drain((out, live, pending[1]), engine, args)
+            done += live
+        pending = (fut, names)
     if pending is not None:
-        errors += _drain(pending, engine, args)
-        done += pending[1]
+        out, live = pending[0].result()
+        errors += _drain((out, live, pending[1]), engine, args)
+        done += live
 
     dt = time.time() - t0
     print(f"\nCompressed {done} frames in {dt:.2f}s ({done / dt:.2f} frames/s)"

@@ -42,6 +42,9 @@ class BatchEngine:
         self._decode_b = make_batch_decoder(lidar, cfg, mesh)
         self.entropy = BasicCompressor(method_name=cfg.basic_compressor)
         self._pool = futures.ThreadPoolExecutor(workers)
+        # Dedicated uploader: stacking + host->device transfer is mostly IO
+        # wait, so it overlaps the entropy stage even on a 1-core host.
+        self._uploader = futures.ThreadPoolExecutor(1)
 
     @property
     def _step_arg(self) -> np.ndarray:
@@ -113,6 +116,11 @@ class BatchEngine:
             return pack_bitstream(compressed, uniform=self.cfg.uniform), fields
 
         return list(self._pool.map(one, range(live)))
+
+    def encode_batch_async(self, clouds: Sequence[np.ndarray], seeds=None):
+        """Stack + upload + dispatch on the uploader thread; returns a
+        future resolving to (EncoderOutput, live_count)."""
+        return self._uploader.submit(self.encode_batch_device, clouds, seeds)
 
     def encode_frames(self, clouds: Sequence[np.ndarray], seeds=None):
         """Convenience: one synchronous batch -> list of .rpcc payloads."""
