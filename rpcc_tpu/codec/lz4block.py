@@ -14,7 +14,7 @@ import threading
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "librpcc_native.so")
-_SOURCES = ["lz4.cpp"]
+_SOURCES = ["lz4.cpp", "deflate.cpp"]
 _lock = threading.Lock()
 _lib = None
 _lib_failed = False
@@ -22,12 +22,22 @@ _lib_failed = False
 
 def _build_native() -> bool:
     srcs = [os.path.join(_NATIVE_DIR, s) for s in _SOURCES]
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO_PATH, *srcs]
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-fopenmp",
+        "-o", _SO_PATH, *srcs, "-lz",
+    ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return True
     except Exception:
-        return False
+        # Retry without OpenMP (not all toolchains ship libgomp).
+        try:
+            cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                   "-o", _SO_PATH, *srcs, "-lz"]
+            subprocess.run(cmd, check=True, capture_output=True)
+            return True
+        except Exception:
+            return False
 
 
 def _load():
@@ -59,8 +69,27 @@ def _load():
         lib.lz4_decompress_block.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
         ]
+        for name in ("gzip_compress_buf",):
+            fn = getattr(lib, name, None)
+            if fn is not None:
+                fn.restype = ctypes.c_size_t
+                fn.argtypes = [
+                    ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+                    ctypes.c_size_t, ctypes.c_int,
+                ]
+        fn = getattr(lib, "gzip_decompress_buf", None)
+        if fn is not None:
+            fn.restype = ctypes.c_size_t
+            fn.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+            ]
         _lib = lib
         return _lib
+
+
+def native_lib():
+    """The loaded native library handle (or None)."""
+    return _load()
 
 
 def compress_block(data: bytes) -> bytes:
