@@ -96,107 +96,3 @@ def plane_models_stream(
     use_plane = angle_ok & (counts >= MIN_PLANE_POINTS)
     use_plane = use_plane.at[0].set(False).at[1].set(False)
     return jnp.where(use_plane[:, None], planes, pmod)
-
-
-def point_models(
-    range_flat: jnp.ndarray, seg_flat: jnp.ndarray, num_models: int
-) -> jnp.ndarray:
-    """(num_models, 4) table of [0,0,0,mean_range]; rows 0 and 1 are zero.
-
-    Row 0 is a placeholder the encoder overwrites with the ground plane
-    (``tools/compress.py:102``).  Empty clusters get 0 instead of the
-    reference's accidental NaN (0-count division, ``cpp_modules.cpp:514``).
-    """
-    seg = seg_flat.astype(jnp.int32)
-    ones = jnp.ones_like(range_flat)
-    sums = jax.ops.segment_sum(range_flat, seg, num_segments=num_models)
-    cnts = jax.ops.segment_sum(ones, seg, num_segments=num_models)
-    mean = jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1.0), 0.0)
-    mean = mean.at[0].set(0.0).at[1].set(0.0)
-    zeros3 = jnp.zeros((num_models, 3), dtype=range_flat.dtype)
-    return jnp.concatenate([zeros3, mean[:, None]], axis=-1)
-
-
-def _gather_cluster_sample(
-    perm: jnp.ndarray,  # (HW,) cluster-sorted pixel permutation
-    starts: jnp.ndarray,  # (num_models,) start offset of each cluster in perm
-    counts: jnp.ndarray,  # (num_models,) pixel count of each cluster
-    key: jax.Array,
-    num_models: int,
-) -> jnp.ndarray:
-    """(num_models, S) pixel indices: S random draws from each cluster's range."""
-    u = jax.random.uniform(key, (num_models, PLANE_SAMPLE_CAPACITY))
-    cnt = jnp.maximum(counts, 1)[:, None]
-    offs = jnp.minimum((u * cnt).astype(jnp.int32), cnt - 1)
-    return perm[starts[:, None] + offs]
-
-
-def plane_models(
-    point_planes_flat: jnp.ndarray,  # (3, HW) planar x/y/z
-    range_flat: jnp.ndarray,  # (HW,)
-    seg_flat: jnp.ndarray,  # (HW,) cluster ids
-    tm_planes_flat: jnp.ndarray,  # (3, HW) planar unit rays
-    perm: jnp.ndarray,  # (HW,) stable cluster-sorted permutation (incl. id 1)
-    counts: jnp.ndarray,  # (num_models,) per-cluster pixel counts
-    key: jax.Array,
-    num_models: int,
-    angle_threshold_deg: float,
-) -> jnp.ndarray:
-    """(num_models, 4) plane-or-point model table (rows 0,1 zeroed).
-
-    For each cluster id >= 2: RANSAC-fit a plane from a fixed random sample of
-    its pixels; keep it only if the cluster has >= 30 pixels and the max angle
-    between any scan ray and the plane normal stays under the threshold
-    (``plane_angle_validation``, ``utils/segment_utils.py:84-93``); otherwise
-    fall back to the point model (mean range).
-    """
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts.astype(jnp.int32))[:-1]]
-    )
-    k_samp, k_hyp = jax.random.split(key)
-    samp_idx = _gather_cluster_sample(perm, starts, counts, k_samp, num_models)
-    # Planar gathers: (C, S) per coordinate, never a (C, S, 3) tensor.
-    sx = point_planes_flat[0][samp_idx]
-    sy = point_planes_flat[1][samp_idx]
-    sz = point_planes_flat[2][samp_idx]
-    rx = tm_planes_flat[0][samp_idx]
-    ry = tm_planes_flat[1][samp_idx]
-    rz = tm_planes_flat[2][samp_idx]
-    s_valid = (
-        jnp.arange(PLANE_SAMPLE_CAPACITY)[None, :] < jnp.minimum(counts, PLANE_SAMPLE_CAPACITY)[:, None]
-    )
-
-    def fit_one(px, py, pz, valid, k):
-        # Hypotheses: CLUSTER_RANSAC_ITERS draws of CLUSTER_RANSAC_N sample rows.
-        nv = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
-        u = jax.random.uniform(k, (CLUSTER_RANSAC_ITERS, CLUSTER_RANSAC_N))
-        hyp_idx = jnp.minimum((u * nv).astype(jnp.int32), nv - 1)
-        hyp_pts = jnp.stack([px[hyp_idx], py[hyp_idx], pz[hyp_idx]], axis=-1)
-        ones = jnp.ones((CLUSTER_RANSAC_N,), px.dtype)
-        planes = jax.vmap(lambda p: fit_plane_weighted(p, ones))(hyp_pts)
-        dists = point_plane_distance_planar(px, py, pz, planes)  # (T, S)
-        inl = (dists < CLUSTER_RANSAC_THRESHOLD) & valid[None, :]
-        cnts = jnp.sum(inl.astype(jnp.int32), axis=-1)
-        best = jnp.argmax(cnts)
-        w = inl[best].astype(px.dtype)
-        refit = fit_plane_weighted(jnp.stack([px, py, pz], axis=-1), w)
-        return jnp.where(cnts[best] >= 3, refit, planes[best])
-
-    keys = jax.random.split(k_hyp, num_models)
-    planes = jax.vmap(fit_one)(sx, sy, sz, s_valid, keys)  # (C, 4)
-
-    # Scan-angle validation over the cluster sample (reference checks all
-    # cluster pixels; the fixed random sample is the fixed-shape equivalent).
-    cosang = jnp.abs(
-        planes[:, 0:1] * rx + planes[:, 1:2] * ry + planes[:, 2:3] * rz
-    )
-    cosang = cosang / jnp.maximum(jnp.linalg.norm(planes[:, :3], axis=-1), 1e-12)[:, None]
-    alpha = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
-    alpha = jnp.where(s_valid, alpha, 0.0)
-    max_alpha = jnp.max(alpha, axis=-1)
-    angle_ok = max_alpha <= jnp.pi * (angle_threshold_deg / 180.0)
-
-    pmod = point_models(range_flat, seg_flat, num_models)
-    use_plane = angle_ok & (counts >= MIN_PLANE_POINTS)
-    use_plane = use_plane.at[0].set(False).at[1].set(False)
-    return jnp.where(use_plane[:, None], planes, pmod)
