@@ -111,6 +111,7 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
                 sharp_num=cfg.sharp_num,
                 less_sharp_num=cfg.less_sharp_num,
                 flat_num=cfg.flat_num,
+                want_feature_map=False,  # only key points feed salience
             )
             payloads.append((kp_map.reshape(-1) > 0).astype(jnp.float32))
 

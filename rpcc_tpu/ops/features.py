@@ -26,12 +26,16 @@ in the tests):
     1..flat_num-1 get label 1 (``:97-112``).
 
 On TPU both phases become one global 3-key ``lax.sort`` over (row x sector)
-groups plus segmented cumsums — no sequential loop at all.
+groups plus segmented cumsums.  No (HW,)-sized gathers or scatters survive:
+neighbor reads are static clamped shifts, row compaction carries every
+needed plane through its sort, per-group cumsum bases expand by telescoping
+diffs over the contiguous sorted groups, and the few thousand key-point
+labels scatter through a capped compaction.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,22 +44,41 @@ NEAR_THRESHOLD = 0.2  # cpp_modules.cpp:11 (inert, see module docstring)
 GAP_THRESHOLD = 0.3  # cpp_modules.cpp:11
 
 
-def _row_compact(values: jnp.ndarray, valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-row stable compaction of valid pixels — one row-wise sort
-    (valid-first, column order preserved), no per-row scatters.
+def _shift_clamp_axis1(x: jnp.ndarray, i: int) -> jnp.ndarray:
+    """x[:, clip(j+i, 0, W-1)] as static slices (no gather)."""
+    if i == 0:
+        return x
+    if i > 0:
+        tail = jnp.repeat(x[:, -1:], i, axis=1)
+        return jnp.concatenate([x[:, i:], tail], axis=1)
+    head = jnp.repeat(x[:, :1], -i, axis=1)
+    return jnp.concatenate([head, x[:, :i]], axis=1)
 
-    Returns (compacted values (H, W) zero-padded, original column of each
-    slot (H, W), per-row valid count (H,)).
-    """
+
+def _shift_clamp_flat(x: jnp.ndarray, i: int) -> jnp.ndarray:
+    """x[clip(j+i, 0, n-1)] as static slices."""
+    if i == 0:
+        return x
+    if i > 0:
+        return jnp.concatenate([x[i:], jnp.repeat(x[-1:], i)])
+    return jnp.concatenate([jnp.repeat(x[:1], -i), x[:i]])
+
+
+def _row_compact(values, cols_payload, valid):
+    """Per-row stable compaction of valid pixels — one row-wise sort
+    (valid-first, column order preserved) carrying an extra payload.
+
+    Returns (compacted values, compacted payload, original column per slot,
+    per-row valid count)."""
     H, W = values.shape
     col_iota = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (H, W))
     key = jnp.where(valid, col_iota, W + col_iota)  # invalid pushed back, stable
-    _, comp, cols = jax.lax.sort(
-        (key, values, col_iota), dimension=1, num_keys=1, is_stable=True
+    _, comp, pay, cols = jax.lax.sort(
+        (key, values, cols_payload, col_iota), dimension=1, num_keys=1, is_stable=True
     )
     counts = jnp.sum(valid.astype(jnp.int32), axis=1)
     comp = jnp.where(col_iota < counts[:, None], comp, 0)
-    return comp, cols, counts
+    return comp, pay, cols, counts
 
 
 def _gap_ok(range_image: jnp.ndarray, feature_region: int) -> jnp.ndarray:
@@ -63,17 +86,23 @@ def _gap_ok(range_image: jnp.ndarray, feature_region: int) -> jnp.ndarray:
 
     The C++ reads ``ri[h*W + w + i]`` without bounds checks — neighbors wrap
     across row ends into adjacent rows; we clamp at the image boundary (the
-    only place the C++ behavior is undefined).
+    only place the C++ behavior is undefined).  Static shifts, no gather.
     """
     H, W = range_image.shape
     flat = range_image.reshape(-1)
-    hw = flat.shape[0]
-    idx = jnp.arange(hw)
-    ok = jnp.ones((hw,), bool)
+    ok = jnp.ones(flat.shape, bool)
     for i in range(-feature_region, feature_region + 1):
-        nbr = flat[jnp.clip(idx + i, 0, hw - 1)]
+        nbr = _shift_clamp_flat(flat, i)
         ok = ok & ((flat - nbr) <= GAP_THRESHOLD)
     return ok.reshape(H, W)
+
+
+def _expand_at_starts(vals: jnp.ndarray, starts: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Piecewise-constant int expansion over contiguous sorted groups:
+    telescoping-diff scatter (len(vals) writes) + cumsum."""
+    diffs = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]])
+    base = jnp.zeros((n,), vals.dtype).at[starts].add(diffs, mode="drop")
+    return jnp.cumsum(base)
 
 
 def _extract(
@@ -84,11 +113,16 @@ def _extract(
     sharp_num: int,
     less_sharp_num: int,
     flat_num: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    want_feature_map: bool = True,
+) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
     H, W = range_image.shape
+    hw = H * W
     r = feature_region
 
-    vri, vcol, counts = _row_compact(range_image, valid)  # (H, W), (H, W), (H,)
+    gap = _gap_ok(range_image, r)
+    vri, vgap, vcol, counts = _row_compact(
+        range_image, gap.astype(jnp.int32), valid
+    )  # all (H, W) in slot space, + (H,)
     row_ok = counts >= segments + 2 * r + 1  # cpp:59-60
 
     # Curvature over compacted slots via prefix sums: win(s) = sum v[s-r..s+r].
@@ -107,25 +141,26 @@ def _extract(
     n = jnp.maximum(counts - 2 * r, 0)  # (H,)
     sector_w = n // segments  # cpp:76-77 floor(n/segments)
     t = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (H, W))  # entry id
-    s = t + r
     entry_valid = (t < sector_w[:, None] * segments) & (sector_w[:, None] > 0) & row_ok[:, None]
     # Entries past the last full sector exist but belong to no sector
     # (cpp:76-77 floor arithmetic) — they still emit curvature (cpp:71).
     entry_exists = (t < n[:, None]) & row_ok[:, None]
     sec = jnp.where(entry_valid, t // jnp.maximum(sector_w, 1)[:, None], segments)
 
-    efeat = jnp.take_along_axis(feat, jnp.minimum(s, W - 1), axis=1)
-    ecol = jnp.take_along_axis(vcol, jnp.minimum(s, W - 1), axis=1)  # original column
-    gap = _gap_ok(range_image, r)
-    epass = jnp.take_along_axis(gap, ecol, axis=1) & entry_valid
+    # Entry views of slot-space planes: slot s = t + r -> static shift by +r.
+    efeat = _shift_clamp_axis1(feat, r)
+    ecol = _shift_clamp_axis1(vcol, r)  # original column of the entry
+    epass = (_shift_clamp_axis1(vgap, r) > 0) & entry_valid
 
-    # Feature map at original pixels (feat_ptr[h*W + valid_idx[s]], cpp:71),
-    # written for every existing entry, pre-sort.
     pix_grid = jnp.arange(H, dtype=jnp.int32)[:, None] * W + ecol
-    feat_flat = jnp.zeros((H * W,), jnp.float32)
-    feat_flat = feat_flat.at[
-        jnp.where(entry_exists, pix_grid, H * W).reshape(-1)
-    ].set(efeat.reshape(-1), mode="drop")
+
+    feat_flat = None
+    if want_feature_map:
+        # Feature map at original pixels (feat_ptr[h*W + valid_idx[s]], cpp:71).
+        feat_flat = jnp.zeros((hw,), jnp.float32)
+        feat_flat = feat_flat.at[
+            jnp.where(entry_exists, pix_grid, hw).reshape(-1)
+        ].set(efeat.reshape(-1), mode="drop")
 
     # Group = row * segments + sector (invalid entries -> trailing group).
     grp = jnp.where(
@@ -149,14 +184,16 @@ def _extract(
     p_s = p_s.astype(bool)
     ev_s = ev_s.astype(bool)
 
-    # Segmented cumsum of passing entries in sharp (desc) order.
-    ones = jnp.ones_like(g_s)
-    grp_counts = jax.ops.segment_sum(ones, g_s, num_segments=num_groups)
-    grp_start = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(grp_counts)[:-1]])
+    # Group starts via searchsorted on the sorted keys (no segment_sum).
+    gids = jnp.arange(num_groups, dtype=jnp.int32)
+    grp_start = jnp.searchsorted(g_s, gids, side="left").astype(jnp.int32)
+
+    # Segmented cumsum of passing entries in sharp (desc) order; the per-slot
+    # group base expands by telescoping diffs (groups are contiguous).
     pass_i = p_s.astype(jnp.int32)
     csum_p = jnp.cumsum(pass_i)
-    base = jnp.where(grp_start > 0, csum_p[jnp.maximum(grp_start - 1, 0)], 0)
-    cum_in_grp = csum_p - base[g_s]  # passing rank incl. self (if passing)
+    base_g = jnp.where(grp_start > 0, csum_p[jnp.maximum(grp_start - 1, 0)], 0)
+    cum_in_grp = csum_p - _expand_at_starts(base_g, grp_start, hw)
 
     label3 = p_s & (cum_in_grp <= sharp_num - 1)
     label2 = p_s & (cum_in_grp >= sharp_num) & (cum_in_grp <= less_sharp_num - 1)
@@ -168,18 +205,30 @@ def _extract(
     fc = (cand & p_s).astype(jnp.int32)
     csum_f = jnp.cumsum(fc)
     base_f = jnp.where(grp_start > 0, csum_f[jnp.maximum(grp_start - 1, 0)], 0)
-    cum_f = csum_f - base_f[g_s]
-    total_f = jax.ops.segment_sum(fc, g_s, num_segments=num_groups)
-    asc_rank = total_f[g_s] - cum_f + fc  # 1-based among flat candidates, asc order
+    cum_f = csum_f - _expand_at_starts(base_f, grp_start, hw)
+    end_f = jnp.concatenate([grp_start[1:], jnp.full((1,), hw, jnp.int32)])
+    total_per_group = (
+        jnp.where(end_f > 0, csum_f[jnp.maximum(end_f - 1, 0)], 0) - base_f
+    )
+    total_f = _expand_at_starts(total_per_group, grp_start, hw)
+    asc_rank = total_f - cum_f + fc  # 1-based among flat candidates, asc order
     label1 = cand & p_s & (asc_rank <= flat_num - 1)
 
+    # Scatter the (few thousand) labels through a capped compaction: at most
+    # (sharp-1)+(less_sharp-sharp)+(flat-1) labels per sector.
     kp_val = jnp.where(label3, 3, jnp.where(label2, 2, jnp.where(label1, 1, 0)))
-    kp_flat = jnp.zeros((H * W,), jnp.int32)
-    kp_flat = kp_flat.at[jnp.where(ev_s & (kp_val > 0), pix_s, H * W)].set(
-        kp_val, mode="drop"
+    cap = H * segments * (less_sharp_num - 1 + flat_num - 1)
+    cap = min(cap, hw)
+    flags = (kp_val > 0) & ev_s
+    _, pix_c, val_c = jax.lax.sort(
+        ((~flags).astype(jnp.int32), pix_s, kp_val), num_keys=1, is_stable=True
     )
+    n_lab = jnp.sum(flags.astype(jnp.int32))
+    dest = jnp.where(jnp.arange(cap) < n_lab, pix_c[:cap], hw)
+    kp_flat = jnp.zeros((hw,), jnp.int32).at[dest].set(val_c[:cap], mode="drop")
 
-    return feat_flat.reshape(H, W), kp_flat.reshape(H, W)
+    feat_map = None if feat_flat is None else feat_flat.reshape(H, W)
+    return feat_map, kp_flat.reshape(H, W)
 
 
 def extract_features(
@@ -189,11 +238,12 @@ def extract_features(
     sharp_num: int = 4,
     less_sharp_num: int = 8,
     flat_num: int = 6,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    want_feature_map: bool = True,
+) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
     """Whole-image variant (valid = nonzero pixels), cpp:125-223."""
     return _extract(
         range_image, range_image != 0, feature_region, segments, sharp_num,
-        less_sharp_num, flat_num,
+        less_sharp_num, flat_num, want_feature_map,
     )
 
 
@@ -205,12 +255,13 @@ def extract_features_with_segment(
     sharp_num: int = 4,
     less_sharp_num: int = 8,
     flat_num: int = 6,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    want_feature_map: bool = True,
+) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
     """Post-segmentation variant (valid = non-ground, non-zero), cpp:28-121."""
     valid = (seg_idx != 0) & (seg_idx != 1)
     return _extract(
         range_image, valid, feature_region, segments, sharp_num,
-        less_sharp_num, flat_num,
+        less_sharp_num, flat_num, want_feature_map,
     )
 
 
