@@ -51,7 +51,16 @@ def print_args(args: argparse.Namespace) -> None:
 
 def config_from_args(args: argparse.Namespace) -> CodecConfig:
     if args.cpu:
+        # Some images force-register an accelerator platform from
+        # sitecustomize, overriding the JAX_PLATFORMS env var — the config
+        # update (before first backend use) always wins.
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     cfg = load_codec_config(
         args.compressor_yaml,
         basic_compressor=args.basic_compressor,
