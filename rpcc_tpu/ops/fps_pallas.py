@@ -30,8 +30,10 @@ LANES = 128
 
 def _fps_kernel(num_samples: int, xs_ref, ys_ref, zs_ref, out_ref, mind2_ref):
     rows = xs_ref.shape[1]
+    b = pl.program_id(0)  # out block spans the full (B, K) array; the TPU
+    # grid is sequential, so each program owns its row.
 
-    out_ref[0, 0] = 0  # seed at index 0 (sampling_gpu.cu:43-46); out lives in SMEM
+    out_ref[b, 0] = 0  # seed at index 0 (sampling_gpu.cu:43-46); out in SMEM
     mind2_ref[:, :] = jnp.full((rows, LANES), 1e10, dtype=jnp.float32)
 
     def body(i, last):
@@ -52,7 +54,7 @@ def _fps_kernel(num_samples: int, xs_ref, ys_ref, zs_ref, out_ref, mind2_ref):
         row_vals = mind2[best_row, :]
         best_col = jnp.argmax(row_vals).astype(jnp.int32)
         nxt = best_row * LANES + best_col
-        out_ref[0, i] = nxt  # scalar store -> SMEM output
+        out_ref[b, i] = nxt  # scalar store -> SMEM output
         return nxt
 
     jax.lax.fori_loop(1, num_samples, body, jnp.int32(0))
@@ -85,7 +87,7 @@ def furthest_point_sample_pallas(
             pl.BlockSpec((1, rows, LANES), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows, LANES), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, num_samples), lambda b: (b, 0), memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec((B, num_samples), lambda b: (0, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((B, num_samples), jnp.int32),
         scratch_shapes=[pltpu.VMEM((rows, LANES), jnp.float32)],
         interpret=interpret,
