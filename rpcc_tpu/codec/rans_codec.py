@@ -120,11 +120,14 @@ def compress_delta_batch(arrays: Sequence[np.ndarray], lanes: int | None = None)
     out: List[bytes] = []
     for i, (sym, escapes, q0, n) in enumerate(per):
         cnts = counts_np[i]
-        packed_words = (
-            np.concatenate([words_np[i, j, : cnts[j]] for j in range(lanes)]).astype("<u2")
-            if cnts.sum()
-            else np.zeros(0, "<u2")
-        )
+        n_words = int(cnts.sum())
+        if n_words:
+            lane_of = np.repeat(np.arange(lanes), cnts)
+            starts = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+            pos = np.arange(n_words) - np.repeat(starts, cnts)
+            packed_words = words_np[i, lane_of, pos].astype("<u2")
+        else:
+            packed_words = np.zeros(0, "<u2")
         present = np.nonzero(freqs_np[i])[0]
         parts = [
             struct.pack("<BBHIi", MAGIC_DELTA, lanes.bit_length() - 1, T, n, q0),
@@ -185,10 +188,11 @@ def decompress_delta_batch(blobs: Sequence[bytes]) -> List[bytes]:
     counts = np.zeros((B, lanes), np.int32)
     states = np.zeros((B, lanes), np.uint32)
     for i, (_, T, n, q0, esc, freqs_i, st, cnt, packed, dt) in enumerate(parsed):
-        c = 0
-        for j in range(lanes):
-            words[i, j, : cnt[j]] = packed[c : c + cnt[j]]
-            c += cnt[j]
+        if packed.shape[0]:
+            lane_of = np.repeat(np.arange(lanes), cnt)
+            starts_i = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            pos = np.arange(packed.shape[0]) - np.repeat(starts_i, cnt)
+            words[i, lane_of, pos] = packed
         counts[i] = cnt
         states[i] = st
     freqs = np.stack([p[5] for p in parsed])

@@ -36,24 +36,28 @@ def _fps_kernel(num_samples: int, xs_ref, ys_ref, zs_ref, out_ref, mind2_ref):
     out_ref[b, 0] = 0  # seed at index 0 (sampling_gpu.cu:43-46); out in SMEM
     mind2_ref[:, :] = jnp.full((rows, LANES), 1e10, dtype=jnp.float32)
 
+    # Mosaic has no dynamic_slice: the selected point's coordinates are
+    # extracted with masked reductions, and argmax is a masked index-min —
+    # everything stays pure vector ops over the VMEM-resident planes.
+    flat_iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    )
+
     def body(i, last):
-        r = last // LANES
-        c = last % LANES
-        x0 = xs_ref[0, r, c]
-        y0 = ys_ref[0, r, c]
-        z0 = zs_ref[0, r, c]
+        sel = flat_iota == last
+        x0 = jnp.sum(jnp.where(sel, xs_ref[0, :, :], 0.0))
+        y0 = jnp.sum(jnp.where(sel, ys_ref[0, :, :], 0.0))
+        z0 = jnp.sum(jnp.where(sel, zs_ref[0, :, :], 0.0))
         dx = xs_ref[0, :, :] - x0
         dy = ys_ref[0, :, :] - y0
         dz = zs_ref[0, :, :] - z0
         d2 = dx * dx + dy * dy + dz * dz
         mind2 = jnp.minimum(mind2_ref[:, :], d2)
         mind2_ref[:, :] = mind2
-        # two-step argmax, first occurrence in row-major order
-        row_max = jnp.max(mind2, axis=1)  # (rows,)
-        best_row = jnp.argmax(row_max).astype(jnp.int32)
-        row_vals = mind2[best_row, :]
-        best_col = jnp.argmax(row_vals).astype(jnp.int32)
-        nxt = best_row * LANES + best_col
+        maxv = jnp.max(mind2)
+        # first occurrence in row-major order = min flat index among maxima
+        nxt = jnp.min(jnp.where(mind2 == maxv, flat_iota, rows * LANES)).astype(jnp.int32)
         out_ref[b, i] = nxt  # scalar store -> SMEM output
         return nxt
 
