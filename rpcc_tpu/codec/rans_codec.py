@@ -24,12 +24,32 @@ Bzip2 fallback: u8 magic 'B' + bzip2 stream.
 from __future__ import annotations
 
 import bz2
+import contextlib
+import os
 import struct
 from typing import List, Sequence
 
 import numpy as np
 
 from rpcc_tpu.ops import rans as _r
+
+# Where the rANS kernels run.  The lax.scan formulation is fast on the CPU
+# backend; on current TPUs its per-step dynamic word scatter/gather crawls
+# the scalar core (a Pallas kernel is the planned fix), so default to the
+# CPU backend and let deployments opt in with RPCC_RANS_DEVICE=default.
+_RANS_DEVICE = os.environ.get("RPCC_RANS_DEVICE", "cpu")
+
+
+def _rans_backend():
+    if _RANS_DEVICE != "cpu":
+        return contextlib.nullcontext()
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:  # no cpu backend registered
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
 
 MAGIC_DELTA = 0x44  # 'D' — order-0 delta container (still decodable)
 MAGIC_CTX = 0x43  # 'C' — context-modeled delta container (current encoder)
@@ -117,7 +137,8 @@ def compress_delta_batch(arrays: Sequence[np.ndarray], lanes: int | None = None)
     sym3d = np.zeros((B, lanes, T), np.int32)
     for i, (sym, _, _, n) in enumerate(per):
         sym3d[i].reshape(-1)[:n] = sym
-    code, freqs = _r.encode_streams_batch_ctx(sym3d, ALPHABET)
+    with _rans_backend():
+        code, freqs = _r.encode_streams_batch_ctx(sym3d, ALPHABET)
     freqs_np = np.asarray(freqs).astype(np.int64)  # (B, C, A)
     counts_np = np.asarray(code.counts)  # (B, L)
     states_np = np.asarray(code.states).astype("<u4")  # (B, L)
@@ -209,12 +230,13 @@ def decompress_delta_batch(blobs: Sequence[bytes]) -> List[bytes]:
         counts[i] = cnt
         states[i] = st
     code = _r.RansCode(words, counts, states)
-    if magic == MAGIC_CTX:
-        freqs = np.stack([p[6] for p in parsed])  # (B, C, A)
-        sym_all = np.asarray(_r.decode_streams_batch_ctx(code, freqs, T_max))
-    else:
-        freqs = np.stack([p[6][0] for p in parsed])  # (B, A)
-        sym_all = np.asarray(_r.decode_streams_batch(code, freqs, T_max))
+    with _rans_backend():
+        if magic == MAGIC_CTX:
+            freqs = np.stack([p[6] for p in parsed])  # (B, C, A)
+            sym_all = np.asarray(_r.decode_streams_batch_ctx(code, freqs, T_max))
+        else:
+            freqs = np.stack([p[6][0] for p in parsed])  # (B, A)
+            sym_all = np.asarray(_r.decode_streams_batch(code, freqs, T_max))
 
     out: List[bytes] = []
     for i, (_m, _l, T, n, q0, escapes, _f, _s, _c, _p, dt_code) in enumerate(parsed):
