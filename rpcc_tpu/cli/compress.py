@@ -24,6 +24,11 @@ def main() -> None:
         "--profile", action="store_true",
         help="capture a device trace of one encode and print per-op timings.",
     )
+    parser.add_argument(
+        "--self_describing", action="store_true",
+        help="prefix the bitstream with a config header so decompress needs "
+        "no matching flags (the reference format is headerless).",
+    )
     args = parser.parse_args()
     print_args(args)
 
@@ -43,6 +48,13 @@ def main() -> None:
     points = load_point_cloud(args.input)
     t_load = time.time()
     blob, fields, times = codec.compress(points)
+    if args.self_describing:
+        from rpcc_tpu.codec.bitstream import pack_header
+
+        blob = pack_header(
+            cfg.uniform, cfg.accuracy, cfg.segment_method, cfg.cluster_num,
+            cfg.modeling_method, cfg.basic_compressor, args.lidar,
+        ) + blob
     with open(args.output, "wb") as f:
         f.write(blob)
     t_save = time.time()

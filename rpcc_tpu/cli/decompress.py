@@ -24,14 +24,31 @@ def main() -> None:
     print_args(args)
 
     cfg = config_from_args(args)
+
+    with open(args.input, "rb") as f:
+        blob = f.read()
+
+    # Self-described streams configure the decoder themselves.
+    from rpcc_tpu.codec.bitstream import unpack_header
+
+    head, blob = unpack_header(blob)
+    if head is not None:
+        print("self-describing bitstream:", head)
+        cfg = cfg.replace(
+            compress_framework="uniform" if head["uniform"] else "non-uniform",
+            accuracy=head["accuracy"],
+            segment_method=head["segment_method"],
+            cluster_num=head["cluster_num"],
+            modeling_method=head["modeling_method"],
+            basic_compressor=head["basic_compressor"],
+        )
+        if args.lidar is None:
+            args.lidar = head["lidar_name"]
     lidar = lidar_from_args(args)
 
     from rpcc_tpu.models.pipeline import RPCCCodec
 
     codec = RPCCCodec(lidar, cfg)
-
-    with open(args.input, "rb") as f:
-        blob = f.read()
     pc_rec, ri_rec, times = codec.decompress(blob)
     save_point_cloud(args.output, pc_rec.reshape(-1, 3))
 

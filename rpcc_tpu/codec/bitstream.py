@@ -12,9 +12,55 @@ encoder and decoder must be configured identically, like the reference
 from __future__ import annotations
 
 import struct
-from typing import Dict
+from typing import Dict, Optional, Tuple
 
 FIELD_ORDER = ("salience_level", "contour_map", "idx_sequence", "plane_param", "residual_quantized")
+
+# Optional self-describing header (SURVEY §5 pitfall 4 suggests one): the
+# reference stream starts with a 4-byte field length, which for any real
+# frame is far below 2^24 — so a magic with a high byte set is unambiguous.
+HEADER_MAGIC = b"RPC1"
+
+
+def pack_header(
+    uniform: bool,
+    accuracy: float,
+    segment_method: str,
+    cluster_num: int,
+    modeling_method: str,
+    basic_compressor: str,
+    lidar_name: str,
+) -> bytes:
+    meta = "|".join(
+        [
+            "u" if uniform else "n",
+            repr(float(accuracy)),
+            segment_method,
+            str(cluster_num),
+            modeling_method,
+            basic_compressor,
+            lidar_name,
+        ]
+    ).encode()
+    return HEADER_MAGIC + struct.pack("<H", len(meta)) + meta
+
+
+def unpack_header(buf: bytes) -> Tuple[Optional[dict], bytes]:
+    """Returns (header dict or None, remaining payload)."""
+    if not buf.startswith(HEADER_MAGIC):
+        return None, buf
+    (n,) = struct.unpack_from("<H", buf, 4)
+    parts = buf[6 : 6 + n].decode().split("|")
+    head = {
+        "uniform": parts[0] == "u",
+        "accuracy": float(parts[1]),
+        "segment_method": parts[2],
+        "cluster_num": int(parts[3]),
+        "modeling_method": parts[4],
+        "basic_compressor": parts[5],
+        "lidar_name": parts[6],
+    }
+    return head, buf[6 + n :]
 
 
 def save_compressed_bitstream(file: str, compressed_data: Dict[str, bytes], uniform: bool = True) -> None:

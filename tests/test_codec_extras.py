@@ -72,3 +72,20 @@ def test_psnr_identical_is_infinite_energy_ratio():
     pc = rng.uniform(-10, 10, (3000, 3))
     p2p, p2pl = calc_point_to_point_plane_psnr(pc, pc + 1e-4, out=False)
     assert p2p["psnr_mean"] > 80
+
+
+def test_self_describing_header_roundtrip():
+    from rpcc_tpu.codec.bitstream import pack_header, unpack_header
+
+    head_bytes = pack_header(False, 0.03, "FPS", 64, "plane", "rans", "Velodyne32E")
+    payload = b"\x12\x34rest-of-stream"
+    head, rest = unpack_header(head_bytes + payload)
+    assert rest == payload
+    assert head == {
+        "uniform": False, "accuracy": 0.03, "segment_method": "FPS",
+        "cluster_num": 64, "modeling_method": "plane",
+        "basic_compressor": "rans", "lidar_name": "Velodyne32E",
+    }
+    # headerless stream passes through untouched
+    head2, rest2 = unpack_header(payload)
+    assert head2 is None and rest2 == payload
