@@ -13,10 +13,10 @@ Integer fields (int16/uint16 ndarrays) take the delta-rANS path; small side
 fields (packed contour bits, float32 model table, salience bytes) fall back
 to bzip2 — they are a few KB and not worth a device round trip.
 
-Delta container layout (little-endian):
-  u8 magic 'D'  u8 log2(lanes)  u16 T(steps/lane)  u32 n_symbols  i32 q0
+Context container layout ('C', little-endian; legacy order-0 'D' decodes too):
+  u8 magic  u8 log2(lanes)  u16 T(steps/lane)  u32 n_symbols  i32 q0
   u32 n_escapes [u32 escape zigzag values ...]     (|Δ| at/over ESCAPE, rare)
-  u16 n_present [u16 symbol ids][u16 freqs]        (sparse normalized table)
+  NUM_CTX x { u16 n_present [u16 symbol ids][u16 freqs] }   (sparse tables)
   u32 states[lanes]  u16 counts[lanes]  u16 words[sum(counts)]  u8 dtype
 Bzip2 fallback: u8 magic 'B' + bzip2 stream.
 """
