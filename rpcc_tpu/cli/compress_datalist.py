@@ -101,21 +101,46 @@ def _existing_path(file_name: str, output_dir: str, suffix: str) -> str:
 
 
 def _drain(pending, engine, args) -> int:
+    import numpy as np
+
     out, live, names = pending
     errors = 0
     results = engine.finalize_encoded(out, live)
+    blobs = []
     for (blob, fields), name in zip(results, names):
         try:
             path = output_path_for(name, args.output_dir, "rpcc")
             with open(path, "wb") as f:
                 f.write(blob)
+            blobs.append(blob)
             if args.output:
-                print("binary bitstream save in ", path)
+                ri = np.asarray(out.range_image[len(blobs) - 1])
+                n_pts = max(int((ri > 0).sum()), 1)
+                print(
+                    f"binary bitstream save in {path}  "
+                    f"BPP: {len(blob) * 8 / n_pts:.4f}  "
+                    f"ratio: {(n_pts * 96) / (len(blob) * 8):.2f}"
+                )
         except Exception as e:
             if not args.keep_going:
                 raise
             errors += 1
             print(f"ERROR writing output for {name}: {e}")
+
+    if args.eval and blobs:
+        # Per-frame reconstruction quality (reference --output --eval path,
+        # tools/compress_datalist.py:163-199): decode the batch we just
+        # wrote and report the depth-error bound check.
+        ris = np.asarray(out.range_image)
+        decoded = engine.decode_blobs(blobs)
+        bound = engine.cfg.step + (
+            0.0 if engine.cfg.uniform else max(engine.cfg.level_delta_acc)
+        )
+        for i, name in enumerate(names[: len(decoded)]):
+            rec_ri = np.linalg.norm(decoded[i], axis=-1)
+            err = float(np.abs(rec_ri - ris[i]).max())
+            status = "OK" if err <= bound + 1e-5 else "RECONSTRUCTION ERROR"
+            print(f"eval {name}: max depth error {err:.5f} (bound {bound:.5f}) {status}")
     return errors
 
 

@@ -34,6 +34,9 @@ class BatchEngine:
     ):
         self.lidar = lidar
         self.cfg = cfg
+        if mesh is not None:
+            n_dev = int(mesh.devices.size)
+            batch_size = -(-batch_size // n_dev) * n_dev  # shardable batch
         self.batch_size = batch_size
         self.mesh = mesh
         self.H, self.W = lidar.height, lidar.width
