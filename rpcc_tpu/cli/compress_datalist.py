@@ -107,14 +107,14 @@ def _drain(pending, engine, args) -> int:
     errors = 0
     results = engine.finalize_encoded(out, live)
     blobs = []
-    for (blob, fields), name in zip(results, names):
+    for i, ((blob, fields), name) in enumerate(zip(results, names)):
         try:
             path = output_path_for(name, args.output_dir, "rpcc")
             with open(path, "wb") as f:
                 f.write(blob)
             blobs.append(blob)
             if args.output:
-                ri = np.asarray(out.range_image[len(blobs) - 1])
+                ri = np.asarray(out.range_image[i])
                 n_pts = max(int((ri > 0).sum()), 1)
                 print(
                     f"binary bitstream save in {path}  "

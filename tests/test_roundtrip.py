@@ -48,8 +48,10 @@ CFG_CASES = [
     CodecConfig(cluster_num=16, basic_compressor="bzip2"),
     CodecConfig(cluster_num=16, basic_compressor="deflate", accuracy=0.05),
     CodecConfig(cluster_num=16, basic_compressor="lz4"),
+    CodecConfig(cluster_num=16, basic_compressor="rans"),
     CodecConfig(cluster_num=16, modeling_method="plane"),
     CodecConfig(cluster_num=16, compress_framework="non-uniform"),
+    CodecConfig(cluster_num=16, compress_framework="non-uniform", basic_compressor="rans"),
 ]
 
 
