@@ -11,6 +11,10 @@ Dequantization (``utils/compress_utils.py:114-132``'s python scatter loop)
 inverts the same permutation with one scatter.
 
 Rounding is C ``round()`` (half away from zero), see ops/rounding.py.
+
+NOTE: these are the readable reference-semantics implementations that the
+unit tests pin against the C++ bucket-loop behavior; the production encoder/
+decoder use the gather-free stream-space formulation in ops/stream.py.
 """
 
 from __future__ import annotations
