@@ -23,6 +23,11 @@ from rpcc_tpu.models.encoder import make_batch_encoder
 from rpcc_tpu.models.pipeline import PAD_QUANTUM
 
 
+def _bucket(n: int, cap: int, quantum: int = 8192) -> int:
+    """Round a live length up to a transfer bucket (bounded slice variants)."""
+    return min(cap, max(quantum, -(-n // quantum) * quantum))
+
+
 class BatchEngine:
     def __init__(
         self,
@@ -79,11 +84,16 @@ class BatchEngine:
     def finalize_encoded(self, out, live: int) -> List[Tuple[bytes, Dict[str, np.ndarray]]]:
         """Trim per-frame fields + entropy-code them on the thread pool."""
         out = jax.block_until_ready(out)
-        stream = np.asarray(out.stream)
         stream_len = np.asarray(out.stream_len)
-        contour_packed = np.asarray(out.contour_packed)
-        seq = np.asarray(out.sequence)
         seq_len = np.asarray(out.seq_len)
+        # Download only the live prefixes (bucketed so the slice programs
+        # stay cached): the padded sequence alone is 8MB/batch for ~12KB of
+        # runs, and this rig's download path is the e2e bottleneck.
+        m_stream = _bucket(int(stream_len.max()) if stream_len.size else 1, self.hw)
+        m_seq = _bucket(int(seq_len.max()) if seq_len.size else 1, self.hw)
+        stream = np.asarray(out.stream[:, :m_stream])
+        seq = np.asarray(out.sequence[:, :m_seq])
+        contour_packed = np.asarray(out.contour_packed)
         models = np.asarray(out.model_param)
         salience = None if out.salience is None else np.asarray(out.salience)
 
