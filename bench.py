@@ -67,16 +67,24 @@ def main() -> None:
 
     # E2E throughput: 3-stage pipeline — uploads run on the engine's
     # uploader thread (IO wait overlaps host entropy), device compute runs
-    # async, entropy finalization on the main thread.  Per-batch times are
-    # noisy on a tunneled dev rig; report the median batch rate.
+    # async, entropy finalization on the main thread.  Per-batch times on a
+    # tunneled dev rig swing +-40% with link weather, so sample for a fixed
+    # wall window (min BATCHES_TIMED batches) and report the median rate.
     batch_times = []
+    n_frames = BATCH
     pending = engine.encode_batch_async(clouds, seeds=range(BATCH))
-    for i in range(1, BATCHES_TIMED):
+    t_start = time.perf_counter()
+    i = 0
+    while i + 1 < BATCHES_TIMED or (
+        time.perf_counter() - t_start < 45.0 and i < 30
+    ):
+        i += 1
         t0 = time.perf_counter()
         nxt = engine.encode_batch_async(clouds, seeds=range(i * BATCH, (i + 1) * BATCH))
         engine.finalize_encoded(*pending.result())
         pending = nxt
         batch_times.append(time.perf_counter() - t0)
+        n_frames += BATCH
     t0 = time.perf_counter()
     engine.finalize_encoded(*pending.result())
     batch_times.append(time.perf_counter() - t0)
@@ -99,7 +107,7 @@ def main() -> None:
                 "bpp": round(bpp, 4),
                 "device_only_fps": round(device_fps, 1),
                 "chips": n_chips,
-                "frames": BATCHES_TIMED * BATCH,
+                "frames": n_frames,
             }
         )
     )
