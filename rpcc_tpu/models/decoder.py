@@ -26,6 +26,7 @@ from rpcc_tpu.ops.projection import build_transform_planes
 from rpcc_tpu.ops.stream import (
     expand_per_cluster,
     predict_stream,
+    rays_from_perm,
     stream_sort,
     stream_to_pixel,
 )
@@ -72,12 +73,16 @@ def build_decode_fn(lidar: LidarConfig, cfg: CodecConfig):
         contour = unpack_bits_msb(contour_packed, hw).reshape(H, W)
         seg = recover_map(contour, sequence.astype(jnp.int32))
         seg_flat = seg.reshape(-1)
-        order, (tx_s, ty_s, tz_s) = stream_sort(
-            seg_flat,
-            [tm_planes_flat[0], tm_planes_flat[1], tm_planes_flat[2]],
-            num_models,
-        )
-        pred_s = predict_stream(model_param, order, (tx_s, ty_s, tz_s), hw)
+        if lidar.even_dist:
+            order, _ = stream_sort(seg_flat, [], num_models)
+            rays_s = rays_from_perm(order, lidar)
+        else:
+            order, rays_s = stream_sort(
+                seg_flat,
+                [tm_planes_flat[0], tm_planes_flat[1], tm_planes_flat[2]],
+                num_models,
+            )
+        pred_s = predict_stream(model_param, order, rays_s, hw)
         if cfg.uniform:
             step_s = step
         else:

@@ -36,6 +36,7 @@ from rpcc_tpu.ops.stream import (
     per_cluster_sums,
     point_means_stream,
     predict_stream,
+    rays_from_perm,
     stream_sort,
 )
 
@@ -101,7 +102,11 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
         ri_flat = ri.reshape(-1)
 
         kp_map = None
-        payloads = [ri_flat, tm_planes_flat[0], tm_planes_flat[1], tm_planes_flat[2]]
+        # Even-dist rays are recomputed analytically after the sort; uneven
+        # (CSV) lidars carry the ray planes as sort payloads.
+        payloads = [ri_flat]
+        if not lidar.even_dist:
+            payloads += [tm_planes_flat[0], tm_planes_flat[1], tm_planes_flat[2]]
         if not cfg.uniform:
             _, kp_map = extract_features_with_segment(
                 ri,
@@ -116,7 +121,13 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
             payloads.append((kp_map.reshape(-1) > 0).astype(jnp.float32))
 
         order, carried = stream_sort(seg_flat, payloads, num_models)
-        ri_s, tx_s, ty_s, tz_s = carried[:4]
+        ri_s = carried[0]
+        if lidar.even_dist:
+            rays_s = rays_from_perm(order, lidar)
+            kp_carry = carried[1] if not cfg.uniform else None
+        else:
+            rays_s = (carried[1], carried[2], carried[3])
+            kp_carry = carried[4] if not cfg.uniform else None
 
         if cfg.modeling_method == "point":
             models = point_model_table(point_means_stream(ri_s, order), num_models)
@@ -132,14 +143,14 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
             )
         model_param = models.at[0].set(ground_model)
 
-        pred_s = predict_stream(model_param, order, (tx_s, ty_s, tz_s), hw)
+        pred_s = predict_stream(model_param, order, rays_s, hw)
         resid_s = ri_s - pred_s
 
         salience = None
         if cfg.uniform:
             step_s = step
         else:
-            kp_cnt = per_cluster_sums(carried[4], order).astype(jnp.int32)
+            kp_cnt = per_cluster_sums(kp_carry, order).astype(jnp.int32)
             sal = salience_levels_from_counts(
                 kp_cnt,
                 order.counts,

@@ -133,6 +133,27 @@ def predict_stream(
     return jnp.where(is_point, d, -d / denom)
 
 
+def rays_from_perm(order: StreamOrder, lidar) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Recompute scan-ray planes analytically from the stream permutation.
+
+    For evenly-distributed LiDARs the ray is pure trigonometry of (row, col)
+    (``dataset/transformer.py:41-54``), so carrying three (HW,) ray payloads
+    through the stream sort is unnecessary — a few transcendentals per slot
+    are cheaper than sorting 12 extra bytes per pixel.  Encoder and decoder
+    both use this path, so prediction is bit-identical on both sides (the
+    f64-built table differs by float ulps; the residual bound is unaffected).
+    """
+    W = lidar.width
+    H = lidar.height
+    row = (order.perm // W).astype(jnp.float32)
+    col = (order.perm % W).astype(jnp.float32)
+    vfov = lidar.vertical_max - lidar.vertical_min
+    alt = jnp.float32(vfov) * row / jnp.float32(H - 1) + jnp.float32(lidar.vertical_min)
+    az = jnp.float32(lidar.horizontal_fov) * col / jnp.float32(W)
+    cos_alt = jnp.cos(alt)
+    return cos_alt * jnp.cos(az), cos_alt * jnp.sin(az), jnp.sin(alt)
+
+
 def stream_to_pixel(
     values_s: jnp.ndarray, order: StreamOrder
 ) -> jnp.ndarray:
