@@ -38,7 +38,11 @@ def _min_d2_and_idx(a: jnp.ndarray, b: jnp.ndarray, chunk: int = _CHUNK):
 
     def body(carry, achunk):
         a2 = jnp.sum(achunk * achunk, axis=-1)
-        d2 = a2[:, None] + b2[None, :] - 2.0 * (achunk @ b.T)
+        # precision=HIGHEST: TPU matmuls default to bf16 inputs, whose ~3
+        # decimal digits are catastrophic at LiDAR coordinate scale (d^2
+        # errors of +-17 at |x|~50 select wrong neighbors).
+        ab = jnp.dot(achunk, b.T, precision=jax.lax.Precision.HIGHEST)
+        d2 = a2[:, None] + b2[None, :] - 2.0 * ab
         return carry, jnp.argmin(d2, axis=-1).astype(jnp.int32)
 
     pad = (-n) % chunk

@@ -78,11 +78,15 @@ def fit_plane_weighted(points: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray
     w = weights / wsum
     centroid = jnp.sum(points * w[:, None], axis=0)
     centered = (points - centroid) * jnp.sqrt(w)[:, None]
-    cov = centered.T @ centered  # (3, 3)
+    # precision=HIGHEST: default TPU bf16 matmul inputs would perturb the
+    # covariance (hence plane normals) at the percent level.
+    cov = jnp.dot(
+        centered.T, centered, precision=jax.lax.Precision.HIGHEST
+    )  # (3, 3)
     normal = smallest_eigvec_3x3(cov)
     norm = jnp.maximum(jnp.linalg.norm(normal), 1e-12)
     normal = normal / norm
-    d = -jnp.dot(normal, centroid)
+    d = -jnp.sum(normal * centroid)  # elementwise: full f32, no bf16 matmul
     return jnp.concatenate([normal, d[None]])
 
 

@@ -178,7 +178,14 @@ def segment_range_image(
     p2 = xs * xs + ys * ys + zs * zs  # (HW,)
     c2 = jnp.sum(centers * centers, axis=-1)  # (K,)
     pts = jnp.stack([xs, ys, zs], axis=0)  # (3, HW) — cheap planar stack
-    dots = jnp.dot(centers, pts, preferred_element_type=jnp.float32)  # (K, HW)
+    # precision=HIGHEST: the TPU's default bf16 matmul inputs lose ~5 of
+    # f32's 7 digits — at |x|~50m that is meters of distance error and wrong
+    # cluster assignments (bpp regressions vs the CPU backend).
+    dots = jnp.dot(
+        centers, pts,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (K, HW)
     d2 = jnp.maximum(p2[None, :] + c2[:, None] - 2.0 * dots, 0.0)
     cdist = jnp.sqrt(d2)
 
