@@ -1,0 +1,95 @@
+"""CLI integration tests: drive the real argparse mains end-to-end."""
+
+import sys
+
+import numpy as np
+import pytest
+
+from tests.test_roundtrip import synth_scene
+
+
+@pytest.fixture()
+def frame_bin(tmp_path):
+    pc = synth_scene(seed=42)
+    path = tmp_path / "frame.bin"
+    np.concatenate([pc, np.zeros((pc.shape[0], 1), np.float32)], -1).astype(
+        np.float32
+    ).tofile(path)
+    return str(path)
+
+
+def run_main(module, argv, monkeypatch):
+    monkeypatch.setattr(sys, "argv", argv)
+    module.main()
+
+
+def test_compress_decompress_cli(frame_bin, tmp_path, monkeypatch):
+    from rpcc_tpu.cli import compress, decompress
+
+    out = str(tmp_path / "f.rpcc")
+    rec = str(tmp_path / "rec.bin")
+    # VLP16 is the smallest real geometry -> fastest CPU test
+    run_main(
+        compress,
+        ["compress", "--input", frame_bin, "--output", out,
+         "--lidar", "VelodyneVLP16", "--cluster_num", "16"],
+        monkeypatch,
+    )
+    run_main(
+        decompress,
+        ["decompress", "--input", out, "--output", rec,
+         "--lidar", "VelodyneVLP16", "--cluster_num", "16"],
+        monkeypatch,
+    )
+    r = np.fromfile(rec, np.float32).reshape(-1, 4)
+    assert r.shape[0] > 100
+    assert np.isfinite(r).all()
+
+
+def test_self_describing_cli(frame_bin, tmp_path, monkeypatch):
+    from rpcc_tpu.cli import compress, decompress
+
+    out = str(tmp_path / "sd.rpcc")
+    rec = str(tmp_path / "sd.bin")
+    run_main(
+        compress,
+        ["compress", "--input", frame_bin, "--output", out,
+         "--lidar", "VelodyneVLP16", "--cluster_num", "16",
+         "--accuracy", "0.05", "--basic_compressor", "rans", "--self_describing"],
+        monkeypatch,
+    )
+    # decompress needs NO flags at all
+    run_main(decompress, ["decompress", "--input", out, "--output", rec], monkeypatch)
+    r = np.fromfile(rec, np.float32).reshape(-1, 4)
+    assert r.shape[0] > 100
+
+
+def test_datalist_cli_roundtrip(frame_bin, tmp_path, monkeypatch):
+    from rpcc_tpu.cli import compress_datalist, decompress_datalist
+
+    datalist = tmp_path / "list.txt"
+    datalist.write_text(frame_bin + "\n")
+    out_dir = str(tmp_path / "out")
+    run_main(
+        compress_datalist,
+        ["compress_datalist", "--datalist", str(datalist), "--output_dir", out_dir,
+         "--lidar", "VelodyneVLP16", "--cluster_num", "16", "--batch", "2",
+         "--workers", "1"],
+        monkeypatch,
+    )
+    import glob
+
+    rpccs = glob.glob(out_dir + "/**/*.rpcc", recursive=True)
+    assert len(rpccs) == 1
+    rpcc_list = tmp_path / "rpcc.txt"
+    rpcc_list.write_text(rpccs[0] + "\n")
+    rec_dir = str(tmp_path / "rec")
+    run_main(
+        decompress_datalist,
+        ["decompress_datalist", "--datalist", str(rpcc_list), "--output_dir", rec_dir,
+         "--lidar", "VelodyneVLP16", "--cluster_num", "16", "--batch", "2",
+         "--workers", "1"],
+        monkeypatch,
+    )
+    bins = glob.glob(rec_dir + "/**/*.bin", recursive=True)
+    assert len(bins) == 1
