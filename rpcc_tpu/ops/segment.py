@@ -32,6 +32,19 @@ from rpcc_tpu.ops.ransac import (
     ransac_plane,
 )
 
+def _fps(ngx, ngy, ngz, cluster_num):
+    """FPS dispatch: the Pallas VMEM-resident kernel on TPU (validated
+    element-identical to the lax loop, incl. ties), lax elsewhere (the
+    Mosaic kernel has no CPU path beyond the slow interpreter)."""
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu" and ngx.shape[0] % 128 == 0:
+        from rpcc_tpu.ops.fps_pallas import furthest_point_sample_pallas
+
+        return furthest_point_sample_pallas(ngx, ngy, ngz, cluster_num)
+    return furthest_point_sample_planar(ngx, ngy, ngz, cluster_num)
+
+
 GROUND_Z_CUT = -1.5  # utils/segment_utils.py:101
 GROUND_FIT_CAPACITY = 5000  # :102-104
 GROUND_FIT_MIN = 800  # :105-106
@@ -166,7 +179,7 @@ def segment_range_image(
     ngy = ys * nonground
     ngz = zs * nonground
 
-    center_idx = furthest_point_sample_planar(ngx, ngy, ngz, cluster_num)
+    center_idx = _fps(ngx, ngy, ngz, cluster_num)
     centers = jnp.stack(
         [ngx[center_idx], ngy[center_idx], ngz[center_idx]], axis=-1
     )  # (K, 3)
