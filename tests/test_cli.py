@@ -93,3 +93,24 @@ def test_datalist_cli_roundtrip(frame_bin, tmp_path, monkeypatch):
     )
     bins = glob.glob(rec_dir + "/**/*.bin", recursive=True)
     assert len(bins) == 1
+
+
+def test_datalist_keep_going_with_bad_file(frame_bin, tmp_path, monkeypatch, capsys):
+    from rpcc_tpu.cli import compress_datalist
+
+    datalist = tmp_path / "list.txt"
+    datalist.write_text(frame_bin + "\n" + str(tmp_path / "missing.bin") + "\n")
+    out_dir = str(tmp_path / "out")
+    run_main(
+        compress_datalist,
+        ["compress_datalist", "--datalist", str(datalist), "--output_dir", out_dir,
+         "--lidar", "VelodyneVLP16", "--cluster_num", "16", "--batch", "2",
+         "--workers", "1", "--keep_going"],
+        monkeypatch,
+    )
+    outp = capsys.readouterr().out
+    assert "ERROR loading" in outp
+    import glob
+
+    # the good frame still compressed; the bad one became an (empty) frame
+    assert len(glob.glob(out_dir + "/**/*.rpcc", recursive=True)) == 2
