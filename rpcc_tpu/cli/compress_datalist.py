@@ -19,14 +19,25 @@ from rpcc_tpu.cli.common import add_codec_args, config_from_args, lidar_from_arg
 
 
 def output_path_for(file_name: str, output_dir: str, suffix: str) -> str:
-    """Reference path mangling (tools/compress_datalist.py:136-141)."""
+    """Mirror the input path under output_dir with the given suffix.
+
+    The reference (tools/compress_datalist.py:136-141) does
+    ``out.replace(out.split(".")[-1], suffix)`` which corrupts every other
+    occurrence of the extension substring (e.g. a directory named ``bin/``).
+    We deliberately fix that: only the trailing extension is replaced.
+    """
+    out = _mirror_path(file_name, output_dir, suffix)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    return out
+
+
+def _mirror_path(file_name: str, output_dir: str, suffix: str) -> str:
     file_name = file_name.strip()
     if file_name and file_name[0] == "/":
         file_name = file_name[1:]
     out = os.path.join(output_dir, file_name)
-    out = out.replace(out.split(".")[-1], suffix)
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    return out
+    root, _ = os.path.splitext(out)
+    return root + "." + suffix
 
 
 def main() -> None:
@@ -93,11 +104,7 @@ def main() -> None:
 
 
 def _existing_path(file_name: str, output_dir: str, suffix: str) -> str:
-    file_name = file_name.strip()
-    if file_name and file_name[0] == "/":
-        file_name = file_name[1:]
-    out = os.path.join(output_dir, file_name)
-    return out.replace(out.split(".")[-1], suffix)
+    return _mirror_path(file_name, output_dir, suffix)
 
 
 def _drain(pending, engine, args) -> int:

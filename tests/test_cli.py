@@ -114,3 +114,15 @@ def test_datalist_keep_going_with_bad_file(frame_bin, tmp_path, monkeypatch, cap
 
     # the good frame still compressed; the bad one became an (empty) frame
     assert len(glob.glob(out_dir + "/**/*.rpcc", recursive=True)) == 2
+
+
+def test_output_path_for_extension_substring_in_dir(tmp_path):
+    """Only the trailing extension is replaced (fixes the reference's
+    tools/compress_datalist.py:136-141 replace-everywhere bug)."""
+    from rpcc_tpu.cli.compress_datalist import output_path_for
+
+    out = output_path_for("/data/bin/seq.bin/000001.bin", str(tmp_path), "rpcc")
+    assert out == str(tmp_path / "data/bin/seq.bin/000001.rpcc")
+    # extensionless input just gains the suffix
+    out2 = output_path_for("/data/frames/000002", str(tmp_path), "rpcc")
+    assert out2 == str(tmp_path / "data/frames/000002.rpcc")

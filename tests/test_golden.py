@@ -32,14 +32,28 @@ def codec_and_frame():
     return RPCCCodec(lidar, cfg), load_point_cloud(EXAMPLE)
 
 
+# Pinned operating point of the default config (uniform/point/FPS/bzip2,
+# acc 0.02, seed 0) on the KITTI example frame, CPU backend.  GOLDEN_BPP is
+# a ±5% regression tripwire; GOLDEN_SHA pins the exact bitstream.  When the
+# algorithm legitimately changes, update both with a one-line justification:
+#  - 2026-08-16 r2 baseline: bpp 3.1069, 36527 bytes (round-1 encoder).
+GOLDEN_BPP = 3.1069
+GOLDEN_SHA = "20826b1f2bb504fa852e2b34a42c88348009af2605bc74f6e0a170e707a97c82"
+
+
 def test_kitti_example_operating_point(codec_and_frame):
     codec, pc = codec_and_frame
     blob, fields, _ = codec.compress(pc)
     ri = np.asarray(codec.encode_device(pc).range_image)
     n_pts = int((ri > 0).sum())
     bpp = len(blob) * 8 / n_pts
-    # Reference paper's uniform point @0.02 sits at ~3.66 bpp; ours ~3.1.
-    assert 2.0 < bpp < 4.5, f"bpp {bpp} drifted out of band"
+    assert abs(bpp - GOLDEN_BPP) / GOLDEN_BPP < 0.05, (
+        f"bpp {bpp:.4f} drifted >5% from pinned {GOLDEN_BPP}"
+    )
+    assert hashlib.sha256(blob).hexdigest() == GOLDEN_SHA, (
+        "bitstream bytes changed — if intentional, re-pin GOLDEN_SHA/GOLDEN_BPP "
+        "with a justification line"
+    )
 
     pc_rec, ri_rec, _ = codec.decompress(blob)
     err = np.abs(ri_rec - ri)
