@@ -140,6 +140,7 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
                 k_model,
                 num_models,
                 cfg.plane_angle_threshold,
+                rays_s,
             )
         model_param = models.at[0].set(ground_model)
 

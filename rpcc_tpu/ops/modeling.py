@@ -7,11 +7,16 @@ the codec's (num_models, 4) table: ``[0, 0, 0, mean_range]`` for point
 models, ``[a, b, c, d]`` for planes (``utils/segment_utils.py:177-181``).
 
 Plane modeling replaces the per-cluster python loop + unseeded o3d RANSAC
-(``utils/segment_utils.py:187-216``): every cluster is fitted *in parallel*
-from a fixed-size random sample of its pixels, gathered through the
-cluster-sorted permutation (contiguous ranges per cluster), with the
-reference's fallbacks — clusters under 30 pixels or planes too oblique to the
-scan rays keep the point model (``:203-204,212-216``).
+(``utils/segment_utils.py:187-216``): every cluster is fitted *in parallel*.
+RANSAC hypothesis *selection* runs on a fixed-size random sample of each
+cluster (cheap, and the sample dominates the vote for any real cluster), but
+— like the reference, which fits and validates on every cluster point — the
+winning hypothesis is **refit over the cluster's full contiguous stream
+range** (weighted covariance from 10 segmented moment sums, centered at the
+per-cluster mean so f32 never squares ~50 m coordinates), and the scan-angle
+validation counts violating pixels over the whole cluster.  The reference's
+fallbacks apply: clusters under 30 pixels or planes too oblique to the scan
+rays keep the point model (``:203-204,212-216``).
 """
 
 from __future__ import annotations
@@ -19,19 +24,71 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from rpcc_tpu.ops.ransac import fit_plane_weighted, point_plane_distance_planar
+from rpcc_tpu.ops.ransac import (
+    fit_plane_weighted,
+    point_plane_distance_planar,
+    smallest_eigvec_3x3,
+)
 
 MIN_PLANE_POINTS = 30  # utils/segment_utils.py:203
 CLUSTER_RANSAC_N = 4  # :208
 CLUSTER_RANSAC_ITERS = 10  # :209
 CLUSTER_RANSAC_THRESHOLD = 0.1  # o3d default used at :75-82
-PLANE_SAMPLE_CAPACITY = 1024  # fixed per-cluster sample for fitting/validation
+PLANE_SAMPLE_CAPACITY = 1024  # per-cluster sample for hypothesis selection
 
 
 def point_model_table(means: jnp.ndarray, num_models: int) -> jnp.ndarray:
     """(M,) per-cluster mean ranges -> (M, 4) [0,0,0,mean] model table."""
     zeros3 = jnp.zeros((num_models, 3), means.dtype)
     return jnp.concatenate([zeros3, means[:, None]], axis=-1)
+
+
+def _select_hypotheses(
+    pc_planes_flat: jnp.ndarray,  # (3, HW) pixel order
+    order,  # StreamOrder
+    key: jax.Array,
+    num_models: int,
+) -> jnp.ndarray:
+    """Best RANSAC hypothesis per cluster, voted on a fixed random sample of
+    its pixels (gathered through the stream permutation).  Returns (M, 4)."""
+    k_samp, k_hyp = jax.random.split(key)
+    counts = order.counts
+    cnt = jnp.maximum(counts, 1)[:, None]
+    u = jax.random.uniform(k_samp, (num_models, PLANE_SAMPLE_CAPACITY))
+    offs = jnp.minimum((u * cnt).astype(jnp.int32), cnt - 1)
+    samp_pix = order.perm[order.starts[:, None] + offs]  # (M, S) small gather
+    sx = pc_planes_flat[0][samp_pix]
+    sy = pc_planes_flat[1][samp_pix]
+    sz = pc_planes_flat[2][samp_pix]
+    s_valid = (
+        jnp.arange(PLANE_SAMPLE_CAPACITY)[None, :]
+        < jnp.minimum(counts, PLANE_SAMPLE_CAPACITY)[:, None]
+    )
+
+    def pick_one(px, py, pz, valid, k):
+        nv = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+        uu = jax.random.uniform(k, (CLUSTER_RANSAC_ITERS, CLUSTER_RANSAC_N))
+        hyp_idx = jnp.minimum((uu * nv).astype(jnp.int32), nv - 1)
+        hyp_pts = jnp.stack([px[hyp_idx], py[hyp_idx], pz[hyp_idx]], axis=-1)
+        ones = jnp.ones((CLUSTER_RANSAC_N,), px.dtype)
+        planes = jax.vmap(lambda p: fit_plane_weighted(p, ones))(hyp_pts)
+        dists = point_plane_distance_planar(px, py, pz, planes)  # (T, S)
+        inl = (dists < CLUSTER_RANSAC_THRESHOLD) & valid[None, :]
+        cnts = jnp.sum(inl.astype(jnp.int32), axis=-1)
+        return planes[jnp.argmax(cnts)]
+
+    keys = jax.random.split(k_hyp, num_models)
+    return jax.vmap(pick_one)(sx, sy, sz, s_valid, keys)  # (M, 4)
+
+
+def per_cluster_sums_multi(values_s: jnp.ndarray, order) -> jnp.ndarray:
+    """(C, HW) stream-order values -> (C, M) per-cluster sums: one stacked
+    cumsum + boundary gathers (the C-row variant of per_cluster_sums)."""
+    C = values_s.shape[0]
+    csum = jnp.concatenate(
+        [jnp.zeros((C, 1), values_s.dtype), jnp.cumsum(values_s, axis=-1)], axis=-1
+    )
+    return csum[:, order.starts + order.counts] - csum[:, order.starts]
 
 
 def plane_models_stream(
@@ -42,55 +99,81 @@ def plane_models_stream(
     key: jax.Array,
     num_models: int,
     angle_threshold_deg: float,
+    rays_s,  # (tx, ty, tz) stream-order scan rays
 ) -> jnp.ndarray:
-    """Per-cluster RANSAC planes sampled through the stream permutation.
+    """Per-cluster RANSAC planes: sample-voted hypothesis, full-cluster refit
+    and full-cluster scan-angle validation (utils/segment_utils.py:187-216)."""
+    from rpcc_tpu.ops.stream import expand_per_cluster, per_cluster_sums, point_means_stream
 
-    Same semantics as :func:`plane_models` but fed by ops/stream.py state:
-    each cluster's fixed random pixel sample is drawn from its contiguous
-    stream range, so the only gathers are (M, S)-sized.
-    """
-    from rpcc_tpu.ops.stream import point_means_stream
-
-    k_samp, k_hyp = jax.random.split(key)
+    hw = ri_s.shape[0]
     counts = order.counts
-    cnt = jnp.maximum(counts, 1)[:, None]
-    u = jax.random.uniform(k_samp, (num_models, PLANE_SAMPLE_CAPACITY))
-    offs = jnp.minimum((u * cnt).astype(jnp.int32), cnt - 1)
-    samp_pix = order.perm[order.starts[:, None] + offs]  # (M, S) small gather
-    sx = pc_planes_flat[0][samp_pix]
-    sy = pc_planes_flat[1][samp_pix]
-    sz = pc_planes_flat[2][samp_pix]
-    rx = tm_planes_flat[0][samp_pix]
-    ry = tm_planes_flat[1][samp_pix]
-    rz = tm_planes_flat[2][samp_pix]
-    s_valid = (
-        jnp.arange(PLANE_SAMPLE_CAPACITY)[None, :]
-        < jnp.minimum(counts, PLANE_SAMPLE_CAPACITY)[:, None]
-    )
+    hyp = _select_hypotheses(pc_planes_flat, order, key, num_models)  # (M, 4)
 
-    def fit_one(px, py, pz, valid, k):
-        nv = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
-        uu = jax.random.uniform(k, (CLUSTER_RANSAC_ITERS, CLUSTER_RANSAC_N))
-        hyp_idx = jnp.minimum((uu * nv).astype(jnp.int32), nv - 1)
-        hyp_pts = jnp.stack([px[hyp_idx], py[hyp_idx], pz[hyp_idx]], axis=-1)
-        ones = jnp.ones((CLUSTER_RANSAC_N,), px.dtype)
-        planes = jax.vmap(lambda p: fit_plane_weighted(p, ones))(hyp_pts)
-        dists = point_plane_distance_planar(px, py, pz, planes)  # (T, S)
-        inl = (dists < CLUSTER_RANSAC_THRESHOLD) & valid[None, :]
-        cnts = jnp.sum(inl.astype(jnp.int32), axis=-1)
-        best = jnp.argmax(cnts)
-        w = inl[best].astype(px.dtype)
-        refit = fit_plane_weighted(jnp.stack([px, py, pz], axis=-1), w)
-        return jnp.where(cnts[best] >= 3, refit, planes[best])
+    # Stream-space coordinates (identical to the pixel cloud: p = r * ray).
+    tx, ty, tz = rays_s
+    xs = ri_s * tx
+    ys = ri_s * ty
+    zs = ri_s * tz
 
-    keys = jax.random.split(k_hyp, num_models)
-    planes = jax.vmap(fit_one)(sx, sy, sz, s_valid, keys)  # (M, 4)
+    # Inlier weights of the winning hypothesis over the WHOLE cluster.
+    ha = expand_per_cluster(hyp[:, 0], order, hw)
+    hb = expand_per_cluster(hyp[:, 1], order, hw)
+    hc = expand_per_cluster(hyp[:, 2], order, hw)
+    hd = expand_per_cluster(hyp[:, 3], order, hw)
+    hnorm = jnp.sqrt(jnp.maximum(ha * ha + hb * hb + hc * hc, 1e-24))
+    dist = jnp.abs(ha * xs + hb * ys + hc * zs + hd) / hnorm
+    w = (dist < CLUSTER_RANSAC_THRESHOLD).astype(ri_s.dtype)
 
-    cosang = jnp.abs(planes[:, 0:1] * rx + planes[:, 1:2] * ry + planes[:, 2:3] * rz)
-    cosang = cosang / jnp.maximum(jnp.linalg.norm(planes[:, :3], axis=-1), 1e-12)[:, None]
+    # Weighted covariance from segmented moment sums, centered at the
+    # per-cluster (unweighted) mean: squaring raw ~50 m coordinates would
+    # lose the few-cm cluster extent to f32 cancellation.
+    mu_sums = per_cluster_sums_multi(jnp.stack([xs, ys, zs]), order)  # (3, M)
+    cntf = jnp.maximum(counts.astype(ri_s.dtype), 1.0)
+    mu0 = mu_sums / cntf[None, :]
+    m0x = expand_per_cluster(mu0[0], order, hw)
+    m0y = expand_per_cluster(mu0[1], order, hw)
+    m0z = expand_per_cluster(mu0[2], order, hw)
+    dx, dy, dz = xs - m0x, ys - m0y, zs - m0z
+    moments = per_cluster_sums_multi(
+        jnp.stack(
+            [w, w * dx, w * dy, w * dz,
+             w * dx * dx, w * dy * dy, w * dz * dz,
+             w * dx * dy, w * dx * dz, w * dy * dz]
+        ),
+        order,
+    )  # (10, M)
+    wsum = jnp.maximum(moments[0], 1e-12)
+    ex, ey, ez = moments[1] / wsum, moments[2] / wsum, moments[3] / wsum
+    cxx = moments[4] / wsum - ex * ex
+    cyy = moments[5] / wsum - ey * ey
+    czz = moments[6] / wsum - ez * ez
+    cxy = moments[7] / wsum - ex * ey
+    cxz = moments[8] / wsum - ex * ez
+    cyz = moments[9] / wsum - ey * ez
+    cov = jnp.stack(
+        [jnp.stack([cxx, cxy, cxz], -1),
+         jnp.stack([cxy, cyy, cyz], -1),
+         jnp.stack([cxz, cyz, czz], -1)],
+        -2,
+    )  # (M, 3, 3)
+    normals = jax.vmap(smallest_eigvec_3x3)(cov)  # (M, 3) unit
+    centroid = jnp.stack([mu0[0] + ex, mu0[1] + ey, mu0[2] + ez], -1)  # (M, 3)
+    dcoef = -jnp.sum(normals * centroid, axis=-1)
+    refit = jnp.concatenate([normals, dcoef[:, None]], axis=-1)  # (M, 4)
+    planes = jnp.where((moments[0] >= 3.0)[:, None], refit, hyp)
+
+    # Scan-angle validation over every cluster pixel: count violations
+    # (max-alpha > threshold  <=>  violation count > 0 — sum-decomposable,
+    # so it rides the same cumsum machinery instead of a segmented max).
+    fa = expand_per_cluster(planes[:, 0], order, hw)
+    fb = expand_per_cluster(planes[:, 1], order, hw)
+    fc = expand_per_cluster(planes[:, 2], order, hw)
+    fnorm = jnp.sqrt(jnp.maximum(fa * fa + fb * fb + fc * fc, 1e-24))
+    cosang = jnp.abs(fa * tx + fb * ty + fc * tz) / fnorm
     alpha = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
-    alpha = jnp.where(s_valid, alpha, 0.0)
-    angle_ok = jnp.max(alpha, axis=-1) <= jnp.pi * (angle_threshold_deg / 180.0)
+    thr = jnp.pi * (angle_threshold_deg / 180.0)
+    viol = per_cluster_sums((alpha > thr).astype(ri_s.dtype), order)
+    angle_ok = viol == 0.0
 
     pmod = point_model_table(point_means_stream(ri_s, order), num_models)
     use_plane = angle_ok & (counts >= MIN_PLANE_POINTS)

@@ -61,9 +61,9 @@ def smallest_eigvec_3x3(a: jnp.ndarray) -> jnp.ndarray:
     n01, n02, n12 = (jnp.sum(c01**2), jnp.sum(c02**2), jnp.sum(c12**2))
     best = jnp.argmax(jnp.stack([n01, n02, n12]))
     v = jnp.stack([c01, c02, c12])[best]
-    nrm = jnp.sqrt(jnp.maximum(n01, jnp.maximum(n02, n12)))
+    nrm = jnp.sqrt(jnp.maximum(n01, jnp.maximum(n02, n12)))  # = |v|
     # Degenerate (isotropic) covariance: any direction is an eigenvector.
-    v = jnp.where(nrm > 1e-20, v / jnp.maximum(jnp.sqrt(nrm), 1e-30), jnp.array([0.0, 0.0, 1.0], a.dtype))
+    v = jnp.where(nrm > 1e-20, v / jnp.maximum(nrm, 1e-30), jnp.array([0.0, 0.0, 1.0], a.dtype))
     return v
 
 

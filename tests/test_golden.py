@@ -37,8 +37,10 @@ def codec_and_frame():
 # a ±5% regression tripwire; GOLDEN_SHA pins the exact bitstream.  When the
 # algorithm legitimately changes, update both with a one-line justification:
 #  - 2026-08-16 r2 baseline: bpp 3.1069, 36527 bytes (round-1 encoder).
-GOLDEN_BPP = 3.1069
-GOLDEN_SHA = "20826b1f2bb504fa852e2b34a42c88348009af2605bc74f6e0a170e707a97c82"
+#  - 2026-08-16 r2: smallest_eigvec_3x3 unit-normalization fix shifted the
+#    ground plane by float ulps (bpp 3.1072).
+GOLDEN_BPP = 3.1072
+GOLDEN_SHA = "e1a6dd0486f627b0260e6ca397e2ff7e1940ca9d7f791e4540656a0e1d52dfc4"
 
 
 def test_kitti_example_operating_point(codec_and_frame):
