@@ -74,6 +74,10 @@ def config_from_args(args: argparse.Namespace) -> CodecConfig:
     )
     if args.nonuniform:
         cfg = cfg.replace(compress_framework="non-uniform")
+    if args.cpu:
+        # Reference parity: --cpu also switches FPS to the filtered-set
+        # semantics of the CPU branch (utils/segment_utils.py:120-124).
+        cfg = cfg.replace(cpu_fps=True)
     return cfg
 
 

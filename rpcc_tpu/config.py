@@ -110,6 +110,10 @@ class CodecConfig:
     ground_threshold: float = 0.1
     cluster_num: int = 100
     dbscan_eps: float = 1.5
+    # Reference --cpu branch semantics: FPS over the *filtered* (compacted)
+    # non-ground set (utils/segment_utils.py:120-124) instead of the
+    # zero-masked grid of the GPU path (:139-141).
+    cpu_fps: bool = False
     # Modeling:
     modeling_method: str = "point"  # 'point' | 'plane'
     plane_angle_threshold: float = 75.0  # degrees

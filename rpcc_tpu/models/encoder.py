@@ -96,7 +96,8 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
             )
         else:
             seg, ground_model, _ = segment_range_image(
-                pc_planes, ri, tm_planes, k_seg, cfg.ground_threshold, cfg.cluster_num
+                pc_planes, ri, tm_planes, k_seg, cfg.ground_threshold,
+                cfg.cluster_num, cpu_fps=cfg.cpu_fps,
             )
         seg_flat = seg.reshape(-1)
         ri_flat = ri.reshape(-1)

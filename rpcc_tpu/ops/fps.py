@@ -65,3 +65,39 @@ def furthest_point_sample(points: jnp.ndarray, num_samples: int) -> jnp.ndarray:
     return furthest_point_sample_planar(
         points[:, 0], points[:, 1], points[:, 2], num_samples
     )
+
+
+def furthest_point_sample_planar_masked(
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    zs: jnp.ndarray,
+    num_valid: jnp.ndarray,
+    num_samples: int,
+) -> jnp.ndarray:
+    """FPS over the first ``num_valid`` entries of planar coordinate arrays.
+
+    The reference CPU path (``utils/segment_utils.py:120-124``) FPS-samples
+    the *filtered* (compacted) non-ground point list rather than the
+    zero-masked grid; slots past ``num_valid`` hold arbitrary compaction
+    leftovers and must never win — their running distance is pinned to -1,
+    below any real squared distance.  Seeds at index 0 = the first filtered
+    point in row-major order, like the CUDA op on the compacted array.
+    """
+    n = xs.shape[0]
+    valid = jnp.arange(n) < num_valid
+
+    def body(i, state):
+        min_d2, idxs, last = state
+        dx = xs - xs[last]
+        dy = ys - ys[last]
+        dz = zs - zs[last]
+        d2 = dx * dx + dy * dy + dz * dz
+        min_d2 = jnp.where(valid, jnp.minimum(min_d2, d2), -1.0)
+        nxt = jnp.argmax(min_d2).astype(jnp.int32)
+        idxs = idxs.at[i].set(nxt)
+        return min_d2, idxs, nxt
+
+    idxs0 = jnp.zeros((num_samples,), dtype=jnp.int32)
+    min_d2 = jnp.where(valid, 1e10, -1.0).astype(jnp.float32)
+    _, idxs, _ = jax.lax.fori_loop(1, num_samples, body, (min_d2, idxs0, jnp.int32(0)))
+    return idxs

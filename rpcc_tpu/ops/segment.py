@@ -163,6 +163,7 @@ def segment_range_image(
     key: jax.Array,
     ground_threshold: float,
     cluster_num: int,
+    cpu_fps: bool = False,
 ) -> SegmentResult:
     H, W = range_image.shape
     xs = point_planes[0].reshape(-1)
@@ -174,15 +175,37 @@ def segment_range_image(
 
     # Non-ground mask by vertical (point-to-plane) distance (:119-120,137-138).
     vert = point_plane_distance_planar(xs, ys, zs, ground_model)
-    nonground = ((vert > ground_threshold) & (ri > 0.0)).astype(ri.dtype)
-    ngx = xs * nonground
-    ngy = ys * nonground
-    ngz = zs * nonground
+    if cpu_fps:
+        # Reference CPU branch (:120-124): FPS over the row-major *compacted*
+        # filtered set — ground pixels leave the candidate pool entirely and
+        # the seed is the first filtered pixel, not pixel 0.  (Zero pixels
+        # stay: the origin is |d| ~ 1.7 m above the ground plane, and
+        # calc_plane_residual_vertical is an absolute distance.)
+        from rpcc_tpu.ops.fps import furthest_point_sample_planar_masked
 
-    center_idx = _fps(ngx, ngy, ngz, cluster_num)
-    centers = jnp.stack(
-        [ngx[center_idx], ngy[center_idx], ngz[center_idx]], axis=-1
-    )  # (K, 3)
+        mask = vert > ground_threshold
+        inv = (~mask).astype(jnp.int32)
+        _, cxs, cys, czs = jax.lax.sort(
+            (inv, xs, ys, zs), num_keys=1, is_stable=True
+        )
+        n_ng = jnp.sum(mask.astype(jnp.int32))
+        center_idx = furthest_point_sample_planar_masked(
+            cxs, cys, czs, n_ng, cluster_num
+        )
+        centers = jnp.stack(
+            [cxs[center_idx], cys[center_idx], czs[center_idx]], axis=-1
+        )  # (K, 3)
+    else:
+        # GPU-path semantics (:139-141): zero-masked full grid.
+        nonground = ((vert > ground_threshold) & (ri > 0.0)).astype(ri.dtype)
+        ngx = xs * nonground
+        ngy = ys * nonground
+        ngz = zs * nonground
+
+        center_idx = _fps(ngx, ngy, ngz, cluster_num)
+        centers = jnp.stack(
+            [ngx[center_idx], ngy[center_idx], ngz[center_idx]], axis=-1
+        )  # (K, 3)
 
     # Distance stack: row 0 = |ground depth residual|, rows 1..K = |p - c|.
     g_res = jnp.abs(
