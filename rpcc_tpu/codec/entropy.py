@@ -34,8 +34,17 @@ METHODS = ("lz4", "bzip2", "gzip", "deflate", "rans")
 
 
 class BasicCompressor:
-    def __init__(self, compressor_yaml: Optional[str] = None, method_name: Optional[str] = None):
+    def __init__(
+        self,
+        compressor_yaml: Optional[str] = None,
+        method_name: Optional[str] = None,
+        contour_shape: Optional[tuple] = None,
+    ):
         self.method_name: Optional[str] = None
+        # (H, W) of the range image: lets the ``rans`` method context-code
+        # the contour bit plane (bit-above model) instead of bzip2ing packed
+        # row-major bytes.  Optional — without it contour falls back to bz2.
+        self.contour_shape = contour_shape
         if compressor_yaml is not None:
             with open(compressor_yaml, "r") as f:
                 raw = yaml.safe_load(f)
@@ -56,7 +65,19 @@ class BasicCompressor:
 
     # -- dict-of-fields helpers (compress_utils.py:255-265) -----------------
     def compress_dict(self, data_dict: Dict[str, object]) -> Dict[str, bytes]:
-        return {k: self.compress(v) for k, v in data_dict.items()}
+        out = {}
+        for k, v in data_dict.items():
+            if (
+                k == "contour_map"
+                and self.method_name == "rans"
+                and self.contour_shape is not None
+            ):
+                from rpcc_tpu.codec import rans_codec
+
+                out[k] = rans_codec.compress_contour(v, *self.contour_shape)
+            else:
+                out[k] = self.compress(v)
+        return out
 
     def decompress_dict(self, data_dict: Dict[str, bytes]) -> Dict[str, bytes]:
         return {k: self.decompress(v) for k, v in data_dict.items()}

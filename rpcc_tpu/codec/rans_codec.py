@@ -16,8 +16,13 @@ to bzip2 — they are a few KB and not worth a device round trip.
 Context container layout ('C', little-endian; legacy order-0 'D' decodes too):
   u8 magic  u8 log2(lanes)  u16 T(steps/lane)  u32 n_symbols  i32 q0
   u32 n_escapes [u32 escape zigzag values ...]     (|Δ| at/over ESCAPE, rare)
-  NUM_CTX x { u16 n_present [u16 symbol ids][u16 freqs] }   (sparse tables)
+  NUM_CTX compact freq tables (see _pack_table: present-id bitmap + u8
+    freqs with u16 escapes — ~4x smaller than flat sparse u16 tables, which
+    cost ~2KB/frame and used to hand the adaptive pick to bzip2-delta)
   u32 states[lanes]  u16 counts[lanes]  u16 words[sum(counts)]  u8 dtype
+Contour container ('N'): the seg-map contour bits, column-major so each
+  lane's previous symbol is the bit ABOVE — a 2-context binary model
+  (~0.25 bits/px vs bzip2's ~0.30 on the packed rows).
 Bzip2 fallback: u8 magic 'B' + bzip2 stream.
 """
 
@@ -54,6 +59,7 @@ def _rans_backend():
 MAGIC_DELTA = 0x44  # 'D' — order-0 delta container (still decodable)
 MAGIC_CTX = 0x43  # 'C' — context-modeled delta container
 MAGIC_BZD = 0x5A  # 'Z' — bzip2 over the zigzag-delta stream
+MAGIC_BITS = 0x4E  # 'N' — column-major context-coded contour bits
 MAGIC_BZ = 0x42  # 'B'
 ALPHABET = 512
 ESCAPE = ALPHABET - 1  # symbol id reserved for |delta| outside table range
@@ -94,9 +100,130 @@ def compress(data, lanes: int | None = None) -> bytes:
 def decompress(blob: bytes) -> bytes:
     if blob[0] == MAGIC_BZ:
         return bz2.decompress(blob[1:])
+    if blob[0] == MAGIC_BITS:
+        return _decompress_bits(blob)
     if blob[0] in (MAGIC_DELTA, MAGIC_CTX, MAGIC_BZD):
         return decompress_delta_batch([blob])[0]
     raise ValueError("unknown rans container magic")
+
+
+# ------------------------------------------------- compact freq-table codec
+def _pack_table(freq_row: np.ndarray) -> bytes:
+    """Compact normalized-freq table: u16 max present id (0xFFFF = empty),
+    presence bitmap over [0, max_id], then one u8 per present symbol with
+    255 escaping to a trailing u16 list.  ~4x smaller than flat sparse
+    {u16 id, u16 freq} pairs for typical KITTI delta tables."""
+    present = np.nonzero(freq_row)[0]
+    if present.size == 0:
+        return struct.pack("<H", 0xFFFF)
+    max_id = int(present[-1])
+    bitmap = np.zeros(max_id + 1, np.uint8)
+    bitmap[present] = 1
+    vals = freq_row[present].astype(np.int64)
+    small = vals < 255
+    return b"".join(
+        [
+            struct.pack("<H", max_id),
+            np.packbits(bitmap).tobytes(),
+            np.where(small, vals, 255).astype(np.uint8).tobytes(),
+            vals[~small].astype("<u2").tobytes(),
+        ]
+    )
+
+
+def _unpack_table(blob: bytes, off: int, alphabet: int):
+    (max_id,) = struct.unpack_from("<H", blob, off)
+    off += 2
+    freq = np.zeros(alphabet, np.int32)
+    if max_id == 0xFFFF:
+        return freq, off
+    nbytes = (max_id + 8) // 8
+    bitmap = np.unpackbits(np.frombuffer(blob, np.uint8, nbytes, off))[: max_id + 1]
+    off += nbytes
+    present = np.nonzero(bitmap)[0]
+    n = present.size
+    b = np.frombuffer(blob, np.uint8, n, off).astype(np.int64)
+    off += n
+    n_esc = int((b == 255).sum())
+    esc = np.frombuffer(blob, "<u2", n_esc, off).astype(np.int64)
+    off += 2 * n_esc
+    vals = b.copy()
+    vals[b == 255] = esc
+    freq[present] = vals
+    return freq, off
+
+
+# --------------------------------------------- contour bit-plane container
+def compress_contour(packed: np.ndarray, H: int, W: int) -> bytes:
+    """Context-coded contour bits ('N') vs bzip2 of the packed rows — keep
+    the smaller.  Bits are laid out column-major so each rANS lane's previous
+    symbol is the bit above (the strongest single-context predictor of the
+    row-difference contour)."""
+    ctx_blob = _compress_bits(np.asarray(packed, np.uint8), H, W)
+    bz = bytes([MAGIC_BZ]) + bz2.compress(np.asarray(packed, np.uint8).tobytes())
+    return min(ctx_blob, bz, key=len)
+
+
+def _compress_bits(packed: np.ndarray, H: int, W: int) -> bytes:
+    bits = np.unpackbits(packed.reshape(-1))[: H * W].reshape(H, W)
+    flat = bits.T.reshape(-1).astype(np.int32)  # column-major
+    n = flat.shape[0]
+    lanes = _lanes_for(n)
+    T = max(1, -(-n // lanes))
+    T = -(-T // T_BUCKET) * T_BUCKET
+    sym3d = np.zeros((1, lanes, T), np.int32)
+    sym3d[0].reshape(-1)[:n] = flat
+    with _rans_backend():
+        code, freqs = _r.encode_streams_batch_ctx(
+            sym3d, 2, ctx_fn=_r.bit_context, num_ctx=2
+        )
+    freqs_np = np.asarray(freqs)[0].astype("<u2")  # (2, 2)
+    cnts = np.asarray(code.counts)[0]
+    n_words = int(cnts.sum())
+    words_np = np.asarray(code.words)[0]
+    if n_words:
+        lane_of = np.repeat(np.arange(lanes), cnts)
+        starts = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        pos = np.arange(n_words) - np.repeat(starts, cnts)
+        packed_words = words_np[lane_of, pos].astype("<u2")
+    else:
+        packed_words = np.zeros(0, "<u2")
+    return b"".join(
+        [
+            struct.pack("<BBHHH", MAGIC_BITS, lanes.bit_length() - 1, T, H, W),
+            freqs_np.tobytes(),
+            np.asarray(code.states)[0].astype("<u4").tobytes(),
+            cnts.astype("<u2").tobytes(),
+            packed_words.tobytes(),
+        ]
+    )
+
+
+def _decompress_bits(blob: bytes) -> bytes:
+    magic, log_lanes, T, H, W = struct.unpack_from("<BBHHH", blob, 0)
+    off = 8
+    lanes = 1 << log_lanes
+    freqs = np.frombuffer(blob, "<u2", 4, off).astype(np.int32).reshape(1, 2, 2)
+    off += 8
+    states = np.frombuffer(blob, "<u4", lanes, off).astype(np.uint32)
+    off += 4 * lanes
+    counts = np.frombuffer(blob, "<u2", lanes, off).astype(np.int32)
+    off += 2 * lanes
+    n_words = int(counts.sum())
+    packed_w = np.frombuffer(blob, "<u2", n_words, off).astype(np.uint16)
+    words = np.zeros((1, lanes, T), np.uint16)
+    if n_words:
+        lane_of = np.repeat(np.arange(lanes), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(n_words) - np.repeat(starts, counts)
+        words[0, lane_of, pos] = packed_w
+    code = _r.RansCode(words, counts.reshape(1, -1), states.reshape(1, -1))
+    with _rans_backend():
+        sym = np.asarray(
+            _r.decode_streams_batch_ctx(code, freqs, T, ctx_fn=_r.bit_context)
+        )[0]
+    bits = sym[: H * W].reshape(W, H).T.astype(np.uint8)
+    return np.packbits(bits.reshape(-1)).tobytes()
 
 
 # --------------------------------------------------- bz2-over-delta variant
@@ -199,10 +326,7 @@ def compress_delta_batch(arrays: Sequence[np.ndarray], lanes: int | None = None)
             escapes.astype("<u4").tobytes(),
         ]
         for c in range(_r.NUM_CTX):
-            present = np.nonzero(freqs_np[i, c])[0]
-            parts.append(struct.pack("<H", present.shape[0]))
-            parts.append(present.astype("<u2").tobytes())
-            parts.append(freqs_np[i, c][present].astype("<u2").tobytes())
+            parts.append(_pack_table(freqs_np[i, c]))
         parts += [
             states_np[i].tobytes(),
             cnts.astype("<u2").tobytes(),
@@ -226,13 +350,7 @@ def _parse_delta(blob: bytes):
     n_tables = _r.NUM_CTX if magic == MAGIC_CTX else 1
     freqs = np.zeros((n_tables, ALPHABET), np.int32)
     for c in range(n_tables):
-        (n_present,) = struct.unpack_from("<H", blob, off)
-        off += 2
-        present = np.frombuffer(blob, "<u2", n_present, off).astype(np.int64)
-        off += 2 * n_present
-        pfreqs = np.frombuffer(blob, "<u2", n_present, off).astype(np.int64)
-        off += 2 * n_present
-        freqs[c, present] = pfreqs
+        freqs[c], off = _unpack_table(blob, off, ALPHABET)
     states = np.frombuffer(blob, "<u4", lanes, off).astype(np.uint32)
     off += 4 * lanes
     counts = np.frombuffer(blob, "<u2", lanes, off).astype(np.int32)

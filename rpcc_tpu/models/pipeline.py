@@ -73,7 +73,9 @@ class RPCCCodec:
         self.transform_map = build_transform_map(lidar)  # (H, W, 3) np.float32
         self._encode = make_encoder(lidar, cfg)
         self._decode = make_decoder(lidar, cfg)
-        self.entropy = BasicCompressor(method_name=cfg.basic_compressor)
+        self.entropy = BasicCompressor(
+            method_name=cfg.basic_compressor, contour_shape=(self.H, self.W)
+        )
 
     @property
     def _step_arg(self) -> np.ndarray:

@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from rpcc_tpu.ops.stream import compact_flagged
+from rpcc_tpu.ops.stream import compact_flagged_positions, compact_flagged_small
 
 
 class ContourCode(NamedTuple):
@@ -36,7 +36,7 @@ def extract_contour(seg: jnp.ndarray) -> ContourCode:
     contour = contour.at[:, 0].set(1)  # row starts are always contour points
     cflat = contour.reshape(-1)
     sflat = seg.reshape(-1).astype(jnp.int32)
-    sequence, seq_len = compact_flagged(cflat, sflat)
+    sequence, seq_len = compact_flagged_small(cflat, sflat)  # seg ids < 2^12
     hw = cflat.shape[0]
     live = jnp.arange(hw) < seq_len
     return ContourCode(contour, jnp.where(live, sequence, 0), seq_len)
@@ -75,7 +75,7 @@ def recover_map(contour: jnp.ndarray, sequence: jnp.ndarray) -> jnp.ndarray:
     # ``pos`` is a full permutation: run-start pixels first (ascending), then
     # the remaining pixels (ascending) — so placing the run deltas back at
     # their pixels is a sort by ``pos``, not a scatter.
-    pos, n = compact_flagged(cflat, iota)
+    pos, n = compact_flagged_positions(cflat)
     seq = sequence.astype(jnp.int32)
     diffs = jnp.concatenate([seq[:1], seq[1:] - seq[:-1]])
     diffs = jnp.where(iota < n, diffs, 0)

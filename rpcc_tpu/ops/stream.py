@@ -45,26 +45,39 @@ def _cluster_key_values(num_models: int) -> jnp.ndarray:
     return jnp.where(ids == 1, num_models, ids)
 
 
+_IOTA_BITS = 18  # position field width; covers range images up to 2^18 px
+
+
 def stream_sort(
     seg_flat: jnp.ndarray, payloads: Sequence[jnp.ndarray], num_models: int
 ) -> Tuple[StreamOrder, Tuple[jnp.ndarray, ...]]:
     """One stable sort into stream order, carrying ``payloads`` along.
 
+    The sort key packs ``(stream_key << 18) | pixel_index`` into one int32:
+    position below key makes the single-array sort *inherently* stable, the
+    permutation ships inside the key (no iota operand), and the seg id is
+    recomputed from the key — two fewer (HW,) operands through the
+    comparator network than the naive (key, iota, seg, ...) sort.
+
     Returns the order plus each payload permuted to stream slots.
     """
     hw = seg_flat.shape[0]
+    assert hw < (1 << _IOTA_BITS) and num_models < (1 << (31 - _IOTA_BITS))
     iota = jnp.arange(hw, dtype=jnp.int32)
     key = _stream_key(seg_flat, num_models)
-    operands = (key, iota, seg_flat.astype(jnp.int32)) + tuple(payloads)
-    out = jax.lax.sort(operands, num_keys=1, is_stable=True)
-    key_s, perm, seg_s = out[0], out[1], out[2]
+    packed = (key << _IOTA_BITS) | iota
+    out = jax.lax.sort((packed,) + tuple(payloads), num_keys=1, is_stable=True)
+    packed_s = out[0]
+    perm = packed_s & jnp.int32((1 << _IOTA_BITS) - 1)
+    key_s = packed_s >> _IOTA_BITS
+    seg_s = jnp.where(key_s == num_models, 1, key_s)
 
     ckeys = _cluster_key_values(num_models)
     starts = jnp.searchsorted(key_s, ckeys, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(key_s, ckeys, side="right").astype(jnp.int32)
     counts = ends - starts
     order = StreamOrder(key_s, perm, seg_s, starts, counts, hw - counts[1])
-    return order, tuple(out[3:])
+    return order, tuple(out[1:])
 
 
 # Static stream-visit order of cluster ids: 0, 2, 3, ..., M-1, 1.
@@ -130,7 +143,12 @@ def predict_stream(
     tx, ty, tz = rays_s
     is_point = (a + b + c) == 0.0  # exact-zero point-model test (cpp:271)
     denom = a * tx + b * ty + c * tz
-    return jnp.where(is_point, d, -d / denom)
+    # A ray lying exactly in a through-origin plane gives -0/0 = NaN in the
+    # reference C++ too (cpp:275); predict 0 instead so degenerate scenes
+    # stay codable (encoder and decoder share this rule).
+    safe = jnp.where(denom == 0.0, 1.0, denom)
+    plane_pred = jnp.where(denom == 0.0, 0.0, -d / safe)
+    return jnp.where(is_point, d, plane_pred)
 
 
 def rays_from_perm(order: StreamOrder, lidar) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -173,3 +191,34 @@ def compact_flagged(
     inv = (1 - flags_flat.astype(jnp.int32),)
     _, vals = jax.lax.sort(inv + (values_flat,), num_keys=1, is_stable=True)
     return vals, jnp.sum(flags_flat.astype(jnp.int32))
+
+
+def compact_flagged_small(
+    flags_flat: jnp.ndarray, values_flat: jnp.ndarray, value_bits: int = 12
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """compact_flagged for small non-negative values (< 2^value_bits):
+    pack (inv_flag | position | value) into ONE int32 so the sort runs a
+    single operand instead of two (stability is positional by construction).
+    """
+    hw = flags_flat.shape[0]
+    assert hw < (1 << _IOTA_BITS) and value_bits + _IOTA_BITS + 1 <= 31
+    iota = jnp.arange(hw, dtype=jnp.int32)
+    inv = 1 - flags_flat.astype(jnp.int32)
+    packed = (
+        (inv << (_IOTA_BITS + value_bits))
+        | (iota << value_bits)
+        | values_flat.astype(jnp.int32)
+    )
+    pk = jax.lax.sort(packed)
+    vals = pk & jnp.int32((1 << value_bits) - 1)
+    return vals, jnp.sum(flags_flat.astype(jnp.int32))
+
+
+def compact_flagged_positions(flags_flat: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Front-packed positions of set flags (single packed-int32 sort)."""
+    hw = flags_flat.shape[0]
+    assert hw < (1 << _IOTA_BITS)
+    iota = jnp.arange(hw, dtype=jnp.int32)
+    inv = 1 - flags_flat.astype(jnp.int32)
+    pk = jax.lax.sort((inv << _IOTA_BITS) | iota)
+    return pk & jnp.int32((1 << _IOTA_BITS) - 1), jnp.sum(flags_flat.astype(jnp.int32))

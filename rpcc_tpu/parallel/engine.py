@@ -48,7 +48,9 @@ class BatchEngine:
         self.hw = self.H * self.W
         self._encode_b = make_batch_encoder(lidar, cfg, mesh)
         self._decode_b = make_batch_decoder(lidar, cfg, mesh)
-        self.entropy = BasicCompressor(method_name=cfg.basic_compressor)
+        self.entropy = BasicCompressor(
+            method_name=cfg.basic_compressor, contour_shape=(self.H, self.W)
+        )
         self._pool = futures.ThreadPoolExecutor(workers)
         # Dedicated uploader: stacking + host->device transfer is mostly IO
         # wait, so it overlaps the entropy stage even on a 1-core host.
@@ -120,11 +122,9 @@ class BatchEngine:
             if resid_blobs is None:
                 compressed = self.entropy.compress_dict(fields)
             else:
-                compressed = {
-                    k: self.entropy.compress(v)
-                    for k, v in fields.items()
-                    if k != "residual_quantized"
-                }
+                compressed = self.entropy.compress_dict(
+                    {k: v for k, v in fields.items() if k != "residual_quantized"}
+                )
                 compressed["residual_quantized"] = resid_blobs[i]
             return pack_bitstream(compressed, uniform=self.cfg.uniform), fields
 

@@ -39,8 +39,11 @@ def codec_and_frame():
 #  - 2026-08-16 r2 baseline: bpp 3.1069, 36527 bytes (round-1 encoder).
 #  - 2026-08-16 r2: smallest_eigvec_3x3 unit-normalization fix shifted the
 #    ground plane by float ulps (bpp 3.1072).
-GOLDEN_BPP = 3.1072
-GOLDEN_SHA = "e1a6dd0486f627b0260e6ca397e2ff7e1940ca9d7f791e4540656a0e1d52dfc4"
+#  - 2026-08-16 r2: ground subsample now draws a candidate pool instead of
+#    argsorting the whole grid (different random subset -> slightly
+#    different ground plane; bpp 3.0803).
+GOLDEN_BPP = 3.0803
+GOLDEN_SHA = "bb6224539e6be0ed6d3f367c23b01cf466e673d01862f08937eba2f62d127b4d"
 
 
 def test_kitti_example_operating_point(codec_and_frame):
