@@ -286,6 +286,16 @@ def bit_context(prev_sym: jnp.ndarray) -> jnp.ndarray:
     return prev_sym
 
 
+def wavefront_bit_context(prev_sym: jnp.ndarray) -> jnp.ndarray:
+    """4-context binary model for the diagonal-wavefront contour layout
+    (lane r = image row r, delayed r steps): at step t lane r holds pixel
+    (r, t-r), its own previous symbol is the LEFT neighbor and lane r-1's
+    previous symbol is the neighbor ABOVE — ctx = 2*above + left.
+    Measured on KITTI: H(bit | above, left) = 0.226 vs 0.277 order-0."""
+    above = jnp.concatenate([jnp.zeros_like(prev_sym[..., :1]), prev_sym[..., :-1]], axis=-1)
+    return 2 * above + prev_sym
+
+
 NUM_CTX = 4  # contexts of the zigzag-magnitude model
 
 
@@ -318,6 +328,26 @@ def encode_streams_batch_ctx(
     freqs = jax.vmap(jax.vmap(normalize_freqs))(counts)
     cums = jax.vmap(jax.vmap(cumulative))(freqs)
     code = jax.vmap(rans_encode_ctx)(sym3d, ctx, freqs, cums)
+    return code, freqs
+
+
+@functools.partial(jax.jit, static_argnames=("alphabet", "num_ctx"))
+def encode_streams_batch_ctx_explicit(
+    sym3d: jnp.ndarray, ctx3d: jnp.ndarray, alphabet: int, num_ctx: int
+):
+    """Batch encode under caller-supplied per-symbol contexts (the decoder
+    must be able to reproduce them from already-decoded symbols)."""
+
+    def hist_one(sym_f, ctx_f):
+        joint = ctx_f * alphabet + sym_f
+        return _hist_sorted(joint, num_ctx * alphabet).reshape(num_ctx, alphabet)
+
+    counts = jax.vmap(hist_one)(
+        sym3d.reshape(sym3d.shape[0], -1), ctx3d.reshape(ctx3d.shape[0], -1)
+    )
+    freqs = jax.vmap(jax.vmap(normalize_freqs))(counts)
+    cums = jax.vmap(jax.vmap(cumulative))(freqs)
+    code = jax.vmap(rans_encode_ctx)(sym3d, ctx3d, freqs, cums)
     return code, freqs
 
 

@@ -32,18 +32,23 @@ def codec_and_frame():
     return RPCCCodec(lidar, cfg), load_point_cloud(EXAMPLE)
 
 
-# Pinned operating point of the default config (uniform/point/FPS/bzip2,
-# acc 0.02, seed 0) on the KITTI example frame, CPU backend.  GOLDEN_BPP is
-# a ±5% regression tripwire; GOLDEN_SHA pins the exact bitstream.  When the
-# algorithm legitimately changes, update both with a one-line justification:
-#  - 2026-08-16 r2 baseline: bpp 3.1069, 36527 bytes (round-1 encoder).
+# Pinned operating points (uniform/point/FPS, acc 0.02, seed 0) on the
+# KITTI example frame, CPU backend: the default config (rans) and the
+# reference-parity entropy coder (bzip2).  BPP pins are ±5% regression
+# tripwires; SHAs pin the exact bitstreams.  When the algorithm legitimately
+# changes, update with a one-line justification:
+#  - 2026-08-16 r2 baseline: bzip2 bpp 3.1069, 36527 bytes (round-1 encoder).
 #  - 2026-08-16 r2: smallest_eigvec_3x3 unit-normalization fix shifted the
-#    ground plane by float ulps (bpp 3.1072).
+#    ground plane by float ulps (bzip2 bpp 3.1072).
 #  - 2026-08-16 r2: ground subsample now draws a candidate pool instead of
 #    argsorting the whole grid (different random subset -> slightly
-#    different ground plane; bpp 3.0803).
-GOLDEN_BPP = 3.0803
-GOLDEN_SHA = "bb6224539e6be0ed6d3f367c23b01cf466e673d01862f08937eba2f62d127b4d"
+#    different ground plane; bzip2 bpp 3.0803).
+#  - 2026-08-16 r2: default compressor flipped to rans (compact tables +
+#    wavefront contour coding): default bpp 2.8144.
+GOLDEN_BPP = 2.8144
+GOLDEN_SHA = "e34b7e903bded5f51ce5999e869783369763d19fffcad7c978d1407eac6ca6cf"
+GOLDEN_BZIP2_BPP = 3.0803
+GOLDEN_BZIP2_SHA = "bb6224539e6be0ed6d3f367c23b01cf466e673d01862f08937eba2f62d127b4d"
 
 
 def test_kitti_example_operating_point(codec_and_frame):
@@ -64,6 +69,19 @@ def test_kitti_example_operating_point(codec_and_frame):
     err = np.abs(ri_rec - ri)
     assert err.max() <= codec.cfg.step + 1e-5
     assert (ri_rec[ri == 0] == 0).all()
+
+
+def test_kitti_example_bzip2_operating_point(codec_and_frame):
+    _, pc = codec_and_frame
+    from rpcc_tpu.data import __lidar_cfg__ as _cfgs
+
+    lidar = LidarConfig.from_yaml(_cfgs["Velodyne64E"], name="Velodyne64E")
+    codec = RPCCCodec(lidar, CodecConfig(basic_compressor="bzip2"))
+    blob, _, _ = codec.compress(pc)
+    ri = np.asarray(codec.encode_device(pc).range_image)
+    bpp = len(blob) * 8 / int((ri > 0).sum())
+    assert abs(bpp - GOLDEN_BZIP2_BPP) / GOLDEN_BZIP2_BPP < 0.05
+    assert hashlib.sha256(blob).hexdigest() == GOLDEN_BZIP2_SHA
 
 
 def test_kitti_example_bitstream_deterministic(codec_and_frame):

@@ -144,7 +144,7 @@ def test_oracle_decodes_our_stream(enc_state):
 
 
 def test_nonuniform_parity_with_oracle():
-    cfg = CodecConfig(cluster_num=16, compress_framework="non-uniform")
+    cfg = CodecConfig(cluster_num=16, compress_framework="non-uniform", basic_compressor="bzip2")
     codec = RPCCCodec(SMALL, cfg)
     pc = synth_scene(seed=5)
     out = codec.encode_device(pc)
@@ -184,7 +184,7 @@ def test_kitti_frame_byte_parity_with_oracle():
     from rpcc_tpu.data.pointcloud_io import load_point_cloud
 
     lidar = LidarConfig.from_yaml(__lidar_cfg__["Velodyne64E"], name="Velodyne64E")
-    codec = RPCCCodec(lidar, CodecConfig())
+    codec = RPCCCodec(lidar, CodecConfig(basic_compressor="bzip2"))
     out = codec.encode_device(load_point_cloud(example))
     seg, ri, mp, residual, res_stream = _oracle_streams(codec, out)
     q_oracle = oracle.uniform_quantize(seg, residual, codec.cfg.step)
