@@ -1,16 +1,20 @@
-"""Benchmark: end-to-end encode throughput on KITTI 64E (BASELINE.json config 1).
+"""Benchmark: the five BASELINE.json configs + decode, on real hardware.
 
-Measures frames/sec/chip for the full pipeline — device encode (projection,
-ground RANSAC, FPS segmentation, point modeling, intra-prediction, uniform
-quantization, contour coding) + host entropy (bzip2) + .rpcc framing — on the
-repo's real 122,320-point example frame at accuracy 0.02, batched.
+Emits one JSON line per configuration (flushed as each completes) and
+re-prints the headline line (config 1: uniform/point/FPS, default entropy
+coder) LAST so drivers that parse the final line get the headline metric.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": fps, "unit": "frames/s/chip", "vs_baseline": x}
+Lines:
+  1. kitti64e_e2e_encode  — config 1 e2e + device-only fps, bpp (rans) and
+     reference-parity bzip2 bpp, max depth error guardrail
+  2. kitti64e_e2e_decode  — decode e2e + device-only fps, exactness guardrail
+  3. kitti64e_plane       — config 2 (plane modeling) device fps + bpp
+  4. kitti64e_nonuniform  — config 3 (salience quantization) device fps + bpp
+  5. multi_lidar          — config 4 (32E + VLP16 geometries) device fps + bound
+  6. datalist_e2e         — config 5 (datalist pipeline incl. disk IO)
 
 vs_baseline: the reference implementation runs single-digit fps end-to-end on
-its GPU-assisted path (BASELINE.md "single-digit-fps Python baseline"); we
-use 5 frames/s as the baseline denominator.
+its GPU-assisted path (BASELINE.md); 5 frames/s is the denominator.
 """
 
 from __future__ import annotations
@@ -27,97 +31,249 @@ sys.path.insert(0, REPO)
 
 BASELINE_FPS = 5.0
 EXAMPLE = "/root/reference/assets/example_data/example.bin"
-BATCH = 32  # amortizes per-call dispatch latency; 346 fps/chip device-side
+BATCH = 32  # amortizes per-call dispatch latency
 BATCHES_TIMED = 6
+WALL_WINDOW_S = 45.0
+
+
+def emit(obj) -> None:
+    print(json.dumps(obj), flush=True)
+
+
+def _stack(pc: np.ndarray, batch: int) -> np.ndarray:
+    from rpcc_tpu.models.pipeline import pad_points
+
+    return pad_points(pc)[None].repeat(batch, axis=0)
+
+
+def device_fps(engine, pts, seeds, step, n_chips: int, reps: int = 3) -> float:
+    import jax
+
+    jax.block_until_ready(engine._encode_b(pts, seeds, step))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.block_until_ready(engine._encode_b(pts, seeds, step))
+    return reps * pts.shape[0] / (time.perf_counter() - t0) / n_chips
+
+
+def bench_config(name, lidar, cfg, pc, n_chips, e2e=False, extra=None):
+    """Device fps (+ optional e2e fps) and quality guardrails for one config."""
+    import jax
+
+    from rpcc_tpu.parallel import BatchEngine
+
+    engine = BatchEngine(lidar, cfg, batch_size=BATCH, workers=8)
+    clouds = [pc] * BATCH
+    results = engine.encode_frames(clouds, seeds=range(BATCH))  # warm-up
+    blob0 = results[0][0]
+
+    pts = jax.device_put(_stack(pc, BATCH))
+    seeds = jax.device_put(np.arange(BATCH, dtype=np.uint32))
+    dev_fps = device_fps(engine, pts, seeds, engine._step_arg, n_chips)
+
+    out = jax.block_until_ready(engine._encode_b(pts, seeds, engine._step_arg))
+    ri = np.asarray(out.range_image[0])
+    n_pts = max(int((ri > 0).sum()), 1)
+    bpp = len(blob0) * 8 / n_pts
+
+    dec = engine.decode_blobs([blob0])
+    rec_ri = np.linalg.norm(dec[0], axis=-1)
+    bound = cfg.step + (0.0 if cfg.uniform else max(cfg.level_delta_acc))
+    max_err = float(np.abs(rec_ri - ri).max())
+
+    line = {
+        "metric": name,
+        "value": round(dev_fps, 1),
+        "unit": "frames/s/chip(device)",
+        "vs_baseline": round(dev_fps / BASELINE_FPS, 3),
+        "bpp": round(bpp, 4),
+        "max_depth_err": round(max_err, 5),
+        "err_bound": round(bound + 1e-5, 5),
+        "chips": n_chips,
+    }
+    if extra:
+        line.update(extra)
+
+    fps = None
+    if e2e:
+        batch_times = []
+        pending = engine.encode_batch_async(clouds, seeds=range(BATCH))
+        t_start = time.perf_counter()
+        i = 0
+        while i + 1 < BATCHES_TIMED or (
+            time.perf_counter() - t_start < WALL_WINDOW_S and i < 30
+        ):
+            i += 1
+            t0 = time.perf_counter()
+            nxt = engine.encode_batch_async(clouds, seeds=range(i * BATCH, (i + 1) * BATCH))
+            engine.finalize_encoded(*pending.result())
+            pending = nxt
+            batch_times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        engine.finalize_encoded(*pending.result())
+        batch_times.append(time.perf_counter() - t0)
+        batch_times.sort()
+        fps = BATCH / batch_times[len(batch_times) // 2] / n_chips
+        line["value"] = round(fps, 3)
+        line["unit"] = "frames/s/chip"
+        line["vs_baseline"] = round(fps / BASELINE_FPS, 3)
+        line["device_only_fps"] = round(dev_fps, 1)
+
+    return line, engine, blob0, ri
 
 
 def main() -> None:
     import jax
 
     from rpcc_tpu.config import CodecConfig, LidarConfig
-    from rpcc_tpu.data import __lidar_cfg__
+    from rpcc_tpu.data import __lidar_cfg__, __lidar_csv__
     from rpcc_tpu.data.pointcloud_io import load_point_cloud
-    from rpcc_tpu.parallel import BatchEngine
 
-    lidar = LidarConfig.from_yaml(__lidar_cfg__["Velodyne64E"], name="Velodyne64E")
-    cfg = CodecConfig()  # uniform, point modeling, FPS, bzip2, accuracy 0.02
-
+    lidar64 = LidarConfig.from_yaml(__lidar_cfg__["Velodyne64E"], name="Velodyne64E")
     pc = load_point_cloud(EXAMPLE).astype(np.float32)
-    clouds = [pc] * BATCH
-
     n_chips = max(1, len(jax.devices()))
-    engine = BatchEngine(lidar, cfg, batch_size=BATCH, workers=8)
 
-    # Warm-up: compile + first transfer excluded (reference does the same for
-    # CUDA init, tools/compress.py:87-90).
-    results = engine.encode_frames(clouds, seeds=range(BATCH))
-    blob0 = results[0][0]
+    # ---- config 1 (headline): uniform / point / FPS / default coder (rans)
+    cfg1 = CodecConfig()
+    head, engine1, blob1, ri1 = bench_config(
+        "kitti64e_e2e_encode_throughput_acc0.02_" + cfg1.basic_compressor,
+        lidar64, cfg1, pc, n_chips, e2e=True,
+    )
+    # reference-parity coder's bpp for the same frame
+    from rpcc_tpu.codec.entropy import BasicCompressor
 
-    # Device-only throughput (what the TPU sustains; e2e adds the host
-    # entropy stage and this rig's tunnel transfers).  Inputs are made
-    # device-resident first so this measures compute, not the tunnel.
-    pts16 = jax.device_put(_stack_one(pc))
-    seeds16 = jax.device_put(np.arange(BATCH, dtype=np.uint32))
-    step16 = np.float32(cfg.step)
-    jax.block_until_ready(engine._encode_b(pts16, seeds16, step16))
+    fields1 = engine1.encode_frames([pc], seeds=[0])[0][1]
+    bz = BasicCompressor(method_name="bzip2")
+    from rpcc_tpu.codec.bitstream import pack_bitstream
+
+    n_pts = max(int((ri1 > 0).sum()), 1)
+    head["bpp_bzip2"] = round(
+        len(pack_bitstream(bz.compress_dict(fields1), uniform=True)) * 8 / n_pts, 4
+    )
+    emit(head)
+
+    # ---- decode (config 1 blobs)
+    blobs = [blob1] * BATCH
+    engine1.decode_blobs(blobs)  # warm
     t0 = time.perf_counter()
-    for _ in range(3):
-        jax.block_until_ready(engine._encode_b(pts16, seeds16, step16))
-    device_fps = 3 * BATCH / (time.perf_counter() - t0) / n_chips
-
-    # E2E throughput: 3-stage pipeline — uploads run on the engine's
-    # uploader thread (IO wait overlaps host entropy), device compute runs
-    # async, entropy finalization on the main thread.  Per-batch times on a
-    # tunneled dev rig swing +-40% with link weather, so sample for a fixed
-    # wall window (min BATCHES_TIMED batches) and report the median rate.
-    batch_times = []
-    n_frames = BATCH
-    pending = engine.encode_batch_async(clouds, seeds=range(BATCH))
-    t_start = time.perf_counter()
-    i = 0
-    while i + 1 < BATCHES_TIMED or (
-        time.perf_counter() - t_start < 45.0 and i < 30
-    ):
-        i += 1
-        t0 = time.perf_counter()
-        nxt = engine.encode_batch_async(clouds, seeds=range(i * BATCH, (i + 1) * BATCH))
-        engine.finalize_encoded(*pending.result())
-        pending = nxt
-        batch_times.append(time.perf_counter() - t0)
-        n_frames += BATCH
-    t0 = time.perf_counter()
-    engine.finalize_encoded(*pending.result())
-    batch_times.append(time.perf_counter() - t0)
-    batch_times.sort()
-    median_bt = batch_times[len(batch_times) // 2]
-    fps = BATCH / median_bt / n_chips
-
-    # Quality guardrails on the timed config.
-    out = engine._encode_b(pts16, seeds16, step16)
-    n_pts = int((np.asarray(out.range_image[0]) > 0).sum())
-    bpp = len(blob0) * 8 / n_pts
-
-    print(
-        json.dumps(
-            {
-                "metric": "kitti64e_e2e_encode_throughput_acc0.02_bzip2",
-                "value": round(fps, 3),
-                "unit": "frames/s/chip",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-                "bpp": round(bpp, 4),
-                "device_only_fps": round(device_fps, 1),
-                "chips": n_chips,
-                "frames": n_frames,
-            }
-        )
+    reps = 3
+    for _ in range(reps):
+        recs = engine1.decode_blobs(blobs)
+    dec_e2e = reps * BATCH / (time.perf_counter() - t0) / n_chips
+    rec_ri = np.linalg.norm(recs[0], axis=-1)
+    emit(
+        {
+            "metric": "kitti64e_e2e_decode_throughput_acc0.02_" + cfg1.basic_compressor,
+            "value": round(dec_e2e, 3),
+            "unit": "frames/s/chip",
+            "vs_baseline": round(dec_e2e / BASELINE_FPS, 3),
+            "max_depth_err": round(float(np.abs(rec_ri - ri1).max()), 5),
+            "err_bound": round(cfg1.step + 1e-5, 5),
+            "chips": n_chips,
+        }
     )
 
+    # ---- config 2: plane modeling
+    line, _, _, _ = bench_config(
+        "kitti64e_plane_modeling_acc0.02", lidar64,
+        CodecConfig(modeling_method="plane"), pc, n_chips,
+    )
+    emit(line)
 
-def _stack_one(pc: np.ndarray) -> np.ndarray:
-    from rpcc_tpu.models.pipeline import pad_points
+    # ---- config 3: non-uniform (salience) quantization
+    line, _, _, _ = bench_config(
+        "kitti64e_nonuniform_acc0.02", lidar64,
+        CodecConfig(compress_framework="non-uniform"), pc, n_chips,
+    )
+    emit(line)
 
-    padded = pad_points(pc)
-    return padded[None].repeat(BATCH, axis=0)
+    # ---- config 4: multi-LiDAR geometries (32E + VLP16)
+    for name in ("Velodyne32E", "VelodyneVLP16"):
+        lidar = LidarConfig.from_yaml(
+            __lidar_cfg__[name], __lidar_csv__[name], name=name
+        )
+        pcl = synth_cloud_for(lidar)
+        line, _, _, _ = bench_config(
+            f"{name.lower()}_uniform_acc0.02", lidar, CodecConfig(), pcl, n_chips,
+        )
+        emit(line)
+
+    # ---- config 5: datalist pipeline including disk IO + .rpcc writes
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        files = []
+        for i in range(BATCH * 2):
+            p = os.path.join(td, f"frames/{i:06d}.bin")
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            np.concatenate([pc, np.zeros((pc.shape[0], 1), np.float32)], -1).tofile(p)
+            files.append(p)
+        from rpcc_tpu.cli.compress_datalist import output_path_for
+        from rpcc_tpu.data.pointcloud_io import load_point_cloud as load_pc
+
+        t0 = time.perf_counter()
+        done = 0
+        pending = None
+        for s in range(0, len(files), BATCH):
+            chunk = files[s : s + BATCH]
+            cl = [load_pc(f) for f in chunk]
+            fut = engine1.encode_batch_async(cl, seeds=range(s, s + len(cl)))
+            if pending is not None:
+                _drain_datalist(engine1, pending, td)
+                done += pending[1]
+            pending = (fut, len(chunk), chunk)
+        _drain_datalist(engine1, pending, td)
+        done += pending[1]
+        dl_fps = done / (time.perf_counter() - t0) / n_chips
+    emit(
+        {
+            "metric": "kitti64e_datalist_e2e_acc0.02_" + cfg1.basic_compressor,
+            "value": round(dl_fps, 3),
+            "unit": "frames/s/chip",
+            "vs_baseline": round(dl_fps / BASELINE_FPS, 3),
+            "frames": done,
+            "chips": n_chips,
+        }
+    )
+
+    # Headline last: drivers that parse the final line get config 1.
+    emit(head)
+
+
+def _drain_datalist(engine, pending, out_dir):
+    from rpcc_tpu.cli.compress_datalist import output_path_for
+
+    fut, live, names = pending
+    results = engine.finalize_encoded(*fut.result())
+    for (blob, _), name in zip(results, names):
+        with open(output_path_for(name, out_dir + "/out", "rpcc"), "wb") as f:
+            f.write(blob)
+
+
+def synth_cloud_for(lidar, seed=0):
+    """A smooth urban-like scene rendered onto the lidar's own scan grid
+    (Oxford/HKUST datasets are not on this rig): ground plane + surrounding
+    building walls + a few boxes, ~1cm surface noise — residuals compress
+    like real scans, unlike white-noise blobs."""
+    rng = np.random.default_rng(seed)
+    H, W = lidar.height, lidar.width
+    from rpcc_tpu.ops.projection import build_transform_map
+
+    tm = build_transform_map(lidar).reshape(-1, 3)  # unit rays
+    # ray-cast: ground plane z=-1.8 and a circular "wall" at radius r(az)
+    tz = tm[:, 2]
+    with np.errstate(divide="ignore"):
+        r_ground = np.where(tz < -1e-4, -1.8 / tz, np.inf)
+    az = np.arctan2(tm[:, 1], tm[:, 0])
+    wall_r = 18 + 8 * np.sin(3 * az) + 3 * np.sin(7 * az + 1.0)
+    horiz = np.linalg.norm(tm[:, :2], axis=-1)
+    with np.errstate(divide="ignore"):
+        r_wall = np.where(horiz > 1e-4, wall_r / horiz, np.inf)
+    r = np.minimum(r_ground, r_wall)
+    r = np.where(np.isfinite(r) & (r > 2.0) & (r < 80.0), r, 0.0)
+    r = (r + rng.normal(0, 0.01, r.shape) * (r > 0)).astype(np.float32)
+    pts = tm * r[:, None]
+    return pts[r > 0].astype(np.float32)
 
 
 if __name__ == "__main__":
