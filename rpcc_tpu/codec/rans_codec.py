@@ -167,77 +167,112 @@ def compress_contour(packed: np.ndarray, H: int, W: int) -> bytes:
     return min(ctx_blob, bz, key=len)
 
 
+def compress_contour_batch(packed_list: Sequence[np.ndarray], H: int, W: int) -> List[bytes]:
+    """Batch variant: every frame's contour bit plane coded in ONE device
+    call (adaptive vs per-frame bzip2, like the single-frame path)."""
+    ctx_blobs = _compress_bits_batch([np.asarray(p, np.uint8) for p in packed_list], H, W)
+    out = []
+    for p, cb in zip(packed_list, ctx_blobs):
+        bzb = bytes([MAGIC_BZ]) + bz2.compress(np.asarray(p, np.uint8).tobytes())
+        out.append(min(cb, bzb, key=len))
+    return out
+
+
 def _compress_bits(packed: np.ndarray, H: int, W: int) -> bytes:
+    return _compress_bits_batch([packed], H, W)[0]
+
+
+def _compress_bits_batch(packed_list: Sequence[np.ndarray], H: int, W: int) -> List[bytes]:
     """Diagonal wavefront layout: lane r = image row r, delayed r steps, so
     at decode step t every lane's own previous symbol is its LEFT neighbor
     and the lane above's previous symbol is the neighbor ABOVE — a 4-context
     (above, left) binary model the decoder reproduces from its scan carry."""
-    bits = np.unpackbits(packed.reshape(-1))[: H * W].reshape(H, W)
+    B = len(packed_list)
+    bits = np.unpackbits(np.stack(packed_list).reshape(B, -1), axis=1)[:, : H * W]
+    bits = bits.reshape(B, H, W)
     T = -(-(W + H - 1) // T_BUCKET) * T_BUCKET
-    sym = np.zeros((H, T), np.int32)
+    sym = np.zeros((B, H, T), np.int32)
     rows = np.arange(H)[:, None]
     cols = np.arange(W)[None, :]
-    sym[rows, cols + rows] = bits
+    sym[:, rows, cols + rows] = bits
     left = np.zeros_like(sym)
-    left[:, 1:] = sym[:, :-1]
+    left[:, :, 1:] = sym[:, :, :-1]
     above = np.zeros_like(sym)
-    above[1:, 1:] = sym[:-1, :-1]
+    above[:, 1:, 1:] = sym[:, :-1, :-1]
     ctx = 2 * above + left
-    ctx[:, 0] = 0
+    ctx[:, :, 0] = 0
     with _rans_backend():
-        code, freqs = _r.encode_streams_batch_ctx_explicit(
-            sym[None], ctx[None], 2, 4
+        code, freqs = _r.encode_streams_batch_ctx_explicit(sym, ctx, 2, 4)
+    freqs_np = np.asarray(freqs).astype("<u2")  # (B, 4, 2)
+    counts_np = np.asarray(code.counts)  # (B, H)
+    states_np = np.asarray(code.states).astype("<u4")
+    words_np = np.asarray(code.words)
+    out: List[bytes] = []
+    for i in range(B):
+        cnts = counts_np[i]
+        n_words = int(cnts.sum())
+        if n_words:
+            lane_of = np.repeat(np.arange(H), cnts)
+            starts = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+            pos = np.arange(n_words) - np.repeat(starts, cnts)
+            packed_words = words_np[i, lane_of, pos].astype("<u2")
+        else:
+            packed_words = np.zeros(0, "<u2")
+        out.append(
+            b"".join(
+                [
+                    struct.pack("<BHHH", MAGIC_BITS, T, H, W),
+                    freqs_np[i].tobytes(),
+                    states_np[i].tobytes(),
+                    cnts.astype("<u2").tobytes(),
+                    packed_words.tobytes(),
+                ]
+            )
         )
-    freqs_np = np.asarray(freqs)[0].astype("<u2")  # (4, 2)
-    cnts = np.asarray(code.counts)[0]
-    n_words = int(cnts.sum())
-    words_np = np.asarray(code.words)[0]
-    if n_words:
-        lane_of = np.repeat(np.arange(H), cnts)
-        starts = np.concatenate([[0], np.cumsum(cnts)[:-1]])
-        pos = np.arange(n_words) - np.repeat(starts, cnts)
-        packed_words = words_np[lane_of, pos].astype("<u2")
-    else:
-        packed_words = np.zeros(0, "<u2")
-    return b"".join(
-        [
-            struct.pack("<BHHH", MAGIC_BITS, T, H, W),
-            freqs_np.tobytes(),
-            np.asarray(code.states)[0].astype("<u4").tobytes(),
-            cnts.astype("<u2").tobytes(),
-            packed_words.tobytes(),
-        ]
-    )
+    return out
 
 
 def _decompress_bits(blob: bytes) -> bytes:
-    magic, T, H, W = struct.unpack_from("<BHHH", blob, 0)
-    off = 7
-    freqs = np.frombuffer(blob, "<u2", 8, off).astype(np.int32).reshape(1, 4, 2)
-    off += 16
-    states = np.frombuffer(blob, "<u4", H, off).astype(np.uint32)
-    off += 4 * H
-    counts = np.frombuffer(blob, "<u2", H, off).astype(np.int32)
-    off += 2 * H
-    n_words = int(counts.sum())
-    packed_w = np.frombuffer(blob, "<u2", n_words, off).astype(np.uint16)
-    words = np.zeros((1, H, T), np.uint16)
-    if n_words:
-        lane_of = np.repeat(np.arange(H), counts)
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        pos = np.arange(n_words) - np.repeat(starts, counts)
-        words[0, lane_of, pos] = packed_w
-    code = _r.RansCode(words, counts.reshape(1, -1), states.reshape(1, -1))
+    return decompress_contour_batch([blob])[0]
+
+
+def decompress_contour_batch(blobs: Sequence[bytes]) -> List[bytes]:
+    """Decode a batch of 'N' contour containers in ONE device call."""
+    B = len(blobs)
+    heads = [struct.unpack_from("<BHHH", b, 0) for b in blobs]
+    T, H, W = heads[0][1], heads[0][2], heads[0][3]
+    assert all(h[1:] == (T, H, W) for h in heads), "mixed contour geometries"
+    freqs = np.zeros((B, 4, 2), np.int32)
+    states = np.zeros((B, H), np.uint32)
+    counts = np.zeros((B, H), np.int32)
+    words = np.zeros((B, H, T), np.uint16)
+    for i, blob in enumerate(blobs):
+        off = 7
+        freqs[i] = np.frombuffer(blob, "<u2", 8, off).astype(np.int32).reshape(4, 2)
+        off += 16
+        states[i] = np.frombuffer(blob, "<u4", H, off)
+        off += 4 * H
+        cnt = np.frombuffer(blob, "<u2", H, off).astype(np.int32)
+        off += 2 * H
+        counts[i] = cnt
+        n_words = int(cnt.sum())
+        if n_words:
+            packed_w = np.frombuffer(blob, "<u2", n_words, off).astype(np.uint16)
+            lane_of = np.repeat(np.arange(H), cnt)
+            starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            pos = np.arange(n_words) - np.repeat(starts, cnt)
+            words[i, lane_of, pos] = packed_w
+    code = _r.RansCode(words, counts, states)
     with _rans_backend():
         sym = np.asarray(
             _r.decode_streams_batch_ctx(
                 code, freqs, T, ctx_fn=_r.wavefront_bit_context
             )
-        )[0].reshape(H, T)
+        ).reshape(B, H, T)
     rows = np.arange(H)[:, None]
     cols = np.arange(W)[None, :]
-    bits = sym[rows, cols + rows].astype(np.uint8)
-    return np.packbits(bits.reshape(-1)).tobytes()
+    bits = sym[:, rows, cols + rows].astype(np.uint8)
+    return [np.packbits(bits[i].reshape(-1)).tobytes() for i in range(B)]
 
 
 # --------------------------------------------------- bz2-over-delta variant

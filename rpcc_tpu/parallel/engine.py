@@ -99,15 +99,19 @@ class BatchEngine:
         models = np.asarray(out.model_param)
         salience = None if out.salience is None else np.asarray(out.salience)
 
-        # With the device rANS coder, the dominant field (residuals) for the
-        # whole batch is entropy-coded in one device call; side fields go to
-        # the host pool.
+        # With the device rANS coder, the dominant fields (residual stream,
+        # contour bit plane) for the whole batch are entropy-coded in one
+        # device call each; the small remaining fields go to the host pool.
         resid_blobs = None
+        contour_blobs = None
         if self.cfg.basic_compressor == "rans":
             from rpcc_tpu.codec import rans_codec
 
             resid_blobs = rans_codec.compress_delta_batch(
                 [stream[i, : stream_len[i]].astype(np.int16) for i in range(live)]
+            )
+            contour_blobs = rans_codec.compress_contour_batch(
+                [contour_packed[i] for i in range(live)], self.H, self.W
             )
 
         def one(i: int) -> Tuple[bytes, Dict[str, np.ndarray]]:
@@ -123,9 +127,14 @@ class BatchEngine:
                 compressed = self.entropy.compress_dict(fields)
             else:
                 compressed = self.entropy.compress_dict(
-                    {k: v for k, v in fields.items() if k != "residual_quantized"}
+                    {
+                        k: v
+                        for k, v in fields.items()
+                        if k not in ("residual_quantized", "contour_map")
+                    }
                 )
                 compressed["residual_quantized"] = resid_blobs[i]
+                compressed["contour_map"] = contour_blobs[i]
             return pack_bitstream(compressed, uniform=self.cfg.uniform), fields
 
         return list(self._pool.map(one, range(live)))
@@ -157,21 +166,31 @@ class BatchEngine:
 
         packed = [unpack_bitstream(b, uniform=self.cfg.uniform) for b in blobs]
         resid_bytes = None
+        contour_bytes = None
         if self.cfg.basic_compressor == "rans":
             from rpcc_tpu.codec import rans_codec
 
             resid_bytes = rans_codec.decompress_delta_batch(
                 [p["residual_quantized"] for p in packed]
             )
+            if all(p["contour_map"][0] == rans_codec.MAGIC_BITS for p in packed):
+                contour_bytes = rans_codec.decompress_contour_batch(
+                    [p["contour_map"] for p in packed]
+                )
 
         def one(i: int):
+            skip = {"residual_quantized"} if resid_bytes is not None else set()
+            if contour_bytes is not None:
+                skip.add("contour_map")
             fields = {
                 k: self.entropy.decompress(v)
                 for k, v in packed[i].items()
-                if resid_bytes is None or k != "residual_quantized"
+                if k not in skip
             }
             if resid_bytes is not None:
                 fields["residual_quantized"] = resid_bytes[i]
+            if contour_bytes is not None:
+                fields["contour_map"] = contour_bytes[i]
             contour[i] = np.frombuffer(fields["contour_map"], np.uint8)
             s = np.frombuffer(fields["idx_sequence"], np.uint16).astype(np.int32)
             seq[i, : s.shape[0]] = s
