@@ -46,13 +46,18 @@ def _stack(pc: np.ndarray, batch: int) -> np.ndarray:
     return pad_points(pc)[None].repeat(batch, axis=0)
 
 
-def device_fps(engine, pts, seeds, step, n_chips: int, reps: int = 3) -> float:
+def device_fps(engine, pts, seeds, step, n_chips: int, reps: int = 6) -> float:
+    """Sustained device throughput: queue all reps (async dispatch overlaps
+    the per-call host/tunnel latency, exactly like the production pipeline)
+    and block once at the end."""
     import jax
 
     jax.block_until_ready(engine._encode_b(pts, seeds, step))
     t0 = time.perf_counter()
+    out = None
     for _ in range(reps):
-        jax.block_until_ready(engine._encode_b(pts, seeds, step))
+        out = engine._encode_b(pts, seeds, step)
+    jax.block_until_ready(out)
     return reps * pts.shape[0] / (time.perf_counter() - t0) / n_chips
 
 
