@@ -38,11 +38,21 @@ import numpy as np
 
 from rpcc_tpu.ops import rans as _r
 
-# Where the rANS kernels run.  The lax.scan formulation is fast on the CPU
-# backend; on current TPUs its per-step dynamic word scatter/gather crawls
-# the scalar core (a Pallas kernel is the planned fix), so default to the
-# CPU backend and let deployments opt in with RPCC_RANS_DEVICE=default.
+# Where the rANS kernels run.  "cpu" (default): the native C++ per-lane
+# loops (codec/native/rans.cpp, bit-exact to the jax kernels; ~25x faster
+# than lax.scan on a 1-core host), falling back to the jax kernels pinned to
+# the CPU backend if no compiler is available.  "default": the jax kernels
+# on the default backend (on current TPUs the per-step word scatter/gather
+# crawls the scalar core — an opt-in, not the recommendation).
 _RANS_DEVICE = os.environ.get("RPCC_RANS_DEVICE", "cpu")
+
+
+def _native():
+    if _RANS_DEVICE != "cpu":
+        return None
+    from rpcc_tpu.codec import rans_native
+
+    return rans_native if rans_native.available() else None
 
 
 def _rans_backend():
@@ -72,6 +82,15 @@ T_BUCKET = 16  # steps-per-lane rounded up to this, bounding jit variants
 # Fields above this size always take the device delta-rANS path; smaller
 # fields are cheap enough to try both and keep the smaller container.
 BIG_FIELD_BYTES = 64 * 1024
+
+# The bzip2-over-delta ('Z') and plain-bzip2 comparisons are only attempted
+# below these sizes: with compact tables the ctx-rANS container wins on
+# every measured large stream, and bz2 costs ~15 ms/frame on the KITTI
+# residual field — pure overhead on a 1-core host.  RPCC_RANS_ADAPTIVE=full
+# restores the exhaustive per-frame comparison.
+BZD_TRY_MAX_SYMBOLS = 32768
+CONTOUR_BZ_TRY_MAX_PIXELS = 65536
+_ADAPTIVE_FULL = os.environ.get("RPCC_RANS_ADAPTIVE", "") == "full"
 
 
 def _lanes_for(n: int) -> int:
@@ -163,14 +182,19 @@ def compress_contour(packed: np.ndarray, H: int, W: int) -> bytes:
     symbol is the bit above (the strongest single-context predictor of the
     row-difference contour)."""
     ctx_blob = _compress_bits(np.asarray(packed, np.uint8), H, W)
+    if not (_ADAPTIVE_FULL or H * W <= CONTOUR_BZ_TRY_MAX_PIXELS):
+        return ctx_blob
     bz = bytes([MAGIC_BZ]) + bz2.compress(np.asarray(packed, np.uint8).tobytes())
     return min(ctx_blob, bz, key=len)
 
 
 def compress_contour_batch(packed_list: Sequence[np.ndarray], H: int, W: int) -> List[bytes]:
     """Batch variant: every frame's contour bit plane coded in ONE device
-    call (adaptive vs per-frame bzip2, like the single-frame path)."""
+    call (adaptive vs per-frame bzip2 for small planes, like the
+    single-frame path; large planes take the wavefront coder outright)."""
     ctx_blobs = _compress_bits_batch([np.asarray(p, np.uint8) for p in packed_list], H, W)
+    if not (_ADAPTIVE_FULL or H * W <= CONTOUR_BZ_TRY_MAX_PIXELS):
+        return ctx_blobs
     out = []
     for p, cb in zip(packed_list, ctx_blobs):
         bzb = bytes([MAGIC_BZ]) + bz2.compress(np.asarray(p, np.uint8).tobytes())
@@ -201,12 +225,18 @@ def _compress_bits_batch(packed_list: Sequence[np.ndarray], H: int, W: int) -> L
     above[:, 1:, 1:] = sym[:, :-1, :-1]
     ctx = 2 * above + left
     ctx[:, :, 0] = 0
-    with _rans_backend():
-        code, freqs = _r.encode_streams_batch_ctx_explicit(sym, ctx, 2, 4)
-    freqs_np = np.asarray(freqs).astype("<u2")  # (B, 4, 2)
-    counts_np = np.asarray(code.counts)  # (B, H)
-    states_np = np.asarray(code.states).astype("<u4")
-    words_np = np.asarray(code.words)
+    nat = _native()
+    if nat is not None:
+        words_np, counts_np, states_raw, freqs_raw = nat.encode_ctx_batch(sym, ctx, 2, 4)
+        freqs_np = freqs_raw.astype("<u2")
+        states_np = states_raw.astype("<u4")
+    else:
+        with _rans_backend():
+            code, freqs = _r.encode_streams_batch_ctx_explicit(sym, ctx, 2, 4)
+        freqs_np = np.asarray(freqs).astype("<u2")  # (B, 4, 2)
+        counts_np = np.asarray(code.counts)  # (B, H)
+        states_np = np.asarray(code.states).astype("<u4")
+        words_np = np.asarray(code.words)
     out: List[bytes] = []
     for i in range(B):
         cnts = counts_np[i]
@@ -262,13 +292,19 @@ def decompress_contour_batch(blobs: Sequence[bytes]) -> List[bytes]:
             starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
             pos = np.arange(n_words) - np.repeat(starts, cnt)
             words[i, lane_of, pos] = packed_w
-    code = _r.RansCode(words, counts, states)
-    with _rans_backend():
-        sym = np.asarray(
-            _r.decode_streams_batch_ctx(
-                code, freqs, T, ctx_fn=_r.wavefront_bit_context
-            )
+    nat = _native()
+    if nat is not None:
+        sym = nat.decode_ctx_batch(
+            words, counts, states, freqs, T, nat.MODE_WAVEFRONT
         ).reshape(B, H, T)
+    else:
+        code = _r.RansCode(words, counts, states)
+        with _rans_backend():
+            sym = np.asarray(
+                _r.decode_streams_batch_ctx(
+                    code, freqs, T, ctx_fn=_r.wavefront_bit_context
+                )
+            ).reshape(B, H, T)
     rows = np.arange(H)[:, None]
     cols = np.arange(W)[None, :]
     bits = sym[:, rows, cols + rows].astype(np.uint8)
@@ -312,6 +348,16 @@ def _decompress_bzd(blob: bytes) -> bytes:
     return q.astype(_CODE_DTYPE[dt_code]).tobytes()
 
 
+def _zigzag_ctx_np(sym3d: np.ndarray) -> np.ndarray:
+    """numpy twin of ops/rans.py::_ctx_of with the zigzag-magnitude model."""
+    prev = np.zeros_like(sym3d)
+    prev[:, :, 1:] = sym3d[:, :, :-1]
+    mag = (prev + 1) // 2
+    ctx = (mag >= 1).astype(np.int32) + (mag >= 3) + (mag >= 8)
+    ctx[:, :, 0] = 0
+    return ctx.astype(np.int32)
+
+
 def _dtype_code(dt) -> int:
     return {np.dtype(np.int16): 0, np.dtype(np.uint16): 1, np.dtype(np.int32): 2}[np.dtype(dt)]
 
@@ -351,12 +397,21 @@ def compress_delta_batch(arrays: Sequence[np.ndarray], lanes: int | None = None)
     sym3d = np.zeros((B, lanes, T), np.int32)
     for i, (sym, _, _, n) in enumerate(per):
         sym3d[i].reshape(-1)[:n] = sym
-    with _rans_backend():
-        code, freqs = _r.encode_streams_batch_ctx(sym3d, ALPHABET)
-    freqs_np = np.asarray(freqs).astype(np.int64)  # (B, C, A)
-    counts_np = np.asarray(code.counts)  # (B, L)
-    states_np = np.asarray(code.states).astype("<u4")  # (B, L)
-    words_np = np.asarray(code.words)  # (B, L, T)
+    nat = _native()
+    if nat is not None:
+        ctx3d = _zigzag_ctx_np(sym3d)
+        words_np, counts_np, states_raw, freqs_raw = nat.encode_ctx_batch(
+            sym3d, ctx3d, ALPHABET, _r.NUM_CTX
+        )
+        freqs_np = freqs_raw.astype(np.int64)
+        states_np = states_raw.astype("<u4")
+    else:
+        with _rans_backend():
+            code, freqs = _r.encode_streams_batch_ctx(sym3d, ALPHABET)
+        freqs_np = np.asarray(freqs).astype(np.int64)  # (B, C, A)
+        counts_np = np.asarray(code.counts)  # (B, L)
+        states_np = np.asarray(code.states).astype("<u4")  # (B, L)
+        words_np = np.asarray(code.words)  # (B, L, T)
 
     out: List[bytes] = []
     for i, (sym, escapes, q0, n) in enumerate(per):
@@ -383,8 +438,11 @@ def compress_delta_batch(arrays: Sequence[np.ndarray], lanes: int | None = None)
             struct.pack("<B", _dtype_code(arrays[i].dtype)),
         ]
         ctx_blob = b"".join(parts)
-        bzd_blob = _compress_bzd(sym, escapes, q0, n, arrays[i].dtype)
-        out.append(min(ctx_blob, bzd_blob, key=len))
+        if _ADAPTIVE_FULL or n <= BZD_TRY_MAX_SYMBOLS:
+            bzd_blob = _compress_bzd(sym, escapes, q0, n, arrays[i].dtype)
+            out.append(min(ctx_blob, bzd_blob, key=len))
+        else:
+            out.append(ctx_blob)
     return out
 
 
@@ -448,14 +506,27 @@ def decompress_delta_batch(blobs: Sequence[bytes]) -> List[bytes]:
             words[i, lane_of, pos] = packed
         counts[i] = cnt
         states[i] = st
-    code = _r.RansCode(words, counts, states)
-    with _rans_backend():
+    nat = _native()
+    if nat is not None:
         if magic == MAGIC_CTX:
             freqs = np.stack([p[6] for p in parsed])  # (B, C, A)
-            sym_all = np.asarray(_r.decode_streams_batch_ctx(code, freqs, T_max))
+            sym_all = nat.decode_ctx_batch(
+                words, counts, states, freqs, T_max, nat.MODE_ZIGZAG
+            )
         else:
-            freqs = np.stack([p[6][0] for p in parsed])  # (B, A)
-            sym_all = np.asarray(_r.decode_streams_batch(code, freqs, T_max))
+            freqs = np.stack([p[6][:1] for p in parsed])  # (B, 1, A)
+            sym_all = nat.decode_ctx_batch(
+                words, counts, states, freqs, T_max, nat.MODE_ORDER0
+            )
+    else:
+        code = _r.RansCode(words, counts, states)
+        with _rans_backend():
+            if magic == MAGIC_CTX:
+                freqs = np.stack([p[6] for p in parsed])  # (B, C, A)
+                sym_all = np.asarray(_r.decode_streams_batch_ctx(code, freqs, T_max))
+            else:
+                freqs = np.stack([p[6][0] for p in parsed])  # (B, A)
+                sym_all = np.asarray(_r.decode_streams_batch(code, freqs, T_max))
 
     out: List[bytes] = []
     for i, (_m, _l, T, n, q0, escapes, _f, _s, _c, _p, dt_code) in enumerate(parsed):

@@ -104,7 +104,10 @@ class BatchEngine:
         # device call each; the small remaining fields go to the host pool.
         resid_blobs = None
         contour_blobs = None
+        seq_blobs = None
         if self.cfg.basic_compressor == "rans":
+            import bz2 as _bz2
+
             from rpcc_tpu.codec import rans_codec
 
             resid_blobs = rans_codec.compress_delta_batch(
@@ -113,6 +116,12 @@ class BatchEngine:
             contour_blobs = rans_codec.compress_contour_batch(
                 [contour_packed[i] for i in range(live)], self.H, self.W
             )
+            seqs = [seq[i, : seq_len[i]].astype(np.uint16) for i in range(live)]
+            seq_delta = rans_codec.compress_delta_batch(seqs)
+            seq_blobs = [
+                min(d, bytes([rans_codec.MAGIC_BZ]) + _bz2.compress(s.tobytes()), key=len)
+                for d, s in zip(seq_delta, seqs)
+            ]
 
         def one(i: int) -> Tuple[bytes, Dict[str, np.ndarray]]:
             fields = {
@@ -126,15 +135,13 @@ class BatchEngine:
             if resid_blobs is None:
                 compressed = self.entropy.compress_dict(fields)
             else:
+                batched = ("residual_quantized", "contour_map", "idx_sequence")
                 compressed = self.entropy.compress_dict(
-                    {
-                        k: v
-                        for k, v in fields.items()
-                        if k not in ("residual_quantized", "contour_map")
-                    }
+                    {k: v for k, v in fields.items() if k not in batched}
                 )
                 compressed["residual_quantized"] = resid_blobs[i]
                 compressed["contour_map"] = contour_blobs[i]
+                compressed["idx_sequence"] = seq_blobs[i]
             return pack_bitstream(compressed, uniform=self.cfg.uniform), fields
 
         return list(self._pool.map(one, range(live)))

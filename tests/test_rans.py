@@ -86,3 +86,71 @@ def test_rans_tiny_and_empty():
     np.testing.assert_array_equal(dec, [3])
     dec, _, _ = roundtrip(np.array([], dtype=np.int64), 8, lanes=4)
     assert dec.shape[0] == 0
+
+
+def test_native_and_jax_kernels_bit_identical():
+    """The C++ rANS kernels must produce byte-identical containers to the
+    jax kernels, and each must decode the other's output."""
+    import numpy as np
+
+    from rpcc_tpu.codec import rans_codec, rans_native
+    from rpcc_tpu.ops import rans as _r
+
+    if not rans_native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    sym3d = rng.integers(0, 120, (3, 8, 256)).astype(np.int32)
+    ctx3d = rans_codec._zigzag_ctx_np(sym3d)
+
+    w_n, c_n, s_n, f_n = rans_native.encode_ctx_batch(sym3d, ctx3d, 512, _r.NUM_CTX)
+    import jax.numpy as jnp
+
+    code, freqs_j = _r.encode_streams_batch_ctx(jnp.asarray(sym3d), 512)
+    assert np.array_equal(f_n, np.asarray(freqs_j))
+    assert np.array_equal(c_n, np.asarray(code.counts))
+    assert np.array_equal(s_n, np.asarray(code.states))
+    # words agree on the valid (front-packed) prefixes
+    w_j = np.asarray(code.words)
+    for b in range(3):
+        for l in range(8):
+            n = c_n[b, l]
+            assert np.array_equal(w_n[b, l, :n], w_j[b, l, :n])
+
+    # cross-decode: native decodes the jax code and vice versa
+    sym_nat = rans_native.decode_ctx_batch(
+        w_j, np.asarray(code.counts), np.asarray(code.states),
+        np.asarray(freqs_j), 256, rans_native.MODE_ZIGZAG,
+    )
+    assert np.array_equal(sym_nat.reshape(3, 8, 256), sym3d)
+    code_n = _r.RansCode(jnp.asarray(w_n), jnp.asarray(c_n), jnp.asarray(s_n))
+    sym_jax = np.asarray(_r.decode_streams_batch_ctx(code_n, jnp.asarray(f_n), 256))
+    assert np.array_equal(sym_jax.reshape(3, 8, 256), sym3d)
+
+
+def test_contour_container_backends_agree():
+    import numpy as np
+
+    from rpcc_tpu.codec import rans_codec, rans_native
+
+    if not rans_native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    packed = [
+        np.packbits(((rng.random((16, 256)) < 0.3)).astype(np.uint8).reshape(-1))
+        for _ in range(4)
+    ]
+    blobs_native = rans_codec._compress_bits_batch(packed, 16, 256)
+    try:
+        rans_codec._RANS_DEVICE = "jax-test"  # disable native
+        blobs_jax = rans_codec._compress_bits_batch(packed, 16, 256)
+        assert blobs_native == blobs_jax
+        recs = rans_codec.decompress_contour_batch(blobs_native)
+    finally:
+        rans_codec._RANS_DEVICE = "cpu"
+    recs2 = rans_codec.decompress_contour_batch(blobs_jax)
+    assert recs == recs2 == [p.tobytes() for p in packed]
