@@ -40,10 +40,11 @@ def emit(obj) -> None:
     print(json.dumps(obj), flush=True)
 
 
-def _stack(pc: np.ndarray, batch: int) -> np.ndarray:
-    from rpcc_tpu.models.pipeline import pad_points
+def _stack(pc: np.ndarray, batch: int, lidar) -> np.ndarray:
+    """(B, H, W) range-image batch (the device graph's from_ri input)."""
+    from rpcc_tpu.ops.projection import project_points_host
 
-    return pad_points(pc)[None].repeat(batch, axis=0)
+    return project_points_host(pc, lidar)[None].repeat(batch, axis=0)
 
 
 def device_fps(engine, pts, seeds, step, n_chips: int, reps: int = 6) -> float:
@@ -72,7 +73,7 @@ def bench_config(name, lidar, cfg, pc, n_chips, e2e=False, extra=None):
     results = engine.encode_frames(clouds, seeds=range(BATCH))  # warm-up
     blob0 = results[0][0]
 
-    pts = jax.device_put(_stack(pc, BATCH))
+    pts = jax.device_put(_stack(pc, BATCH, lidar))
     seeds = jax.device_put(np.arange(BATCH, dtype=np.uint32))
     dev_fps = device_fps(engine, pts, seeds, engine._step_arg, n_chips)
 
@@ -101,30 +102,45 @@ def bench_config(name, lidar, cfg, pc, n_chips, e2e=False, extra=None):
 
     fps = None
     if e2e:
-        batch_times = []
-        pending = engine.encode_batch_async(clouds, seeds=range(BATCH))
+        # Distinct per-batch content (pre-jittered variants) so no transfer
+        # caching can flatter the numbers; 3-deep pipeline (upload k /
+        # download k-1 / entropy k-2).
+        variants = _jittered_variants(pc, 8)
         t_start = time.perf_counter()
-        i = 0
-        while i + 1 < BATCHES_TIMED or (
-            time.perf_counter() - t_start < WALL_WINDOW_S and i < 30
-        ):
-            i += 1
-            t0 = time.perf_counter()
-            nxt = engine.encode_batch_async(clouds, seeds=range(i * BATCH, (i + 1) * BATCH))
-            engine.finalize_encoded(*pending.result())
-            pending = nxt
-            batch_times.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        engine.finalize_encoded(*pending.result())
-        batch_times.append(time.perf_counter() - t0)
-        batch_times.sort()
-        fps = BATCH / batch_times[len(batch_times) // 2] / n_chips
+
+        def batch_gen():
+            k = 0
+            while k < BATCHES_TIMED or (
+                time.perf_counter() - t_start < WALL_WINDOW_S and k < 30
+            ):
+                yield [variants[k % len(variants)]] * BATCH, range(k * BATCH, (k + 1) * BATCH)
+                k += 1
+
+        arrivals = []
+        last_blobs = []
+        for results in engine.encode_pipeline(batch_gen()):
+            arrivals.append(time.perf_counter())
+            last_blobs.append([b for b, _ in results])
+        deltas = sorted(
+            b - a for a, b in zip(arrivals[1:-1], arrivals[2:])
+        )  # skip pipeline ramp-up
+        fps = BATCH / deltas[len(deltas) // 2] / n_chips if deltas else 0.0
         line["value"] = round(fps, 3)
         line["unit"] = "frames/s/chip"
         line["vs_baseline"] = round(fps / BASELINE_FPS, 3)
         line["device_only_fps"] = round(dev_fps, 1)
 
     return line, engine, blob0, ri
+
+
+def _jittered_variants(pc: np.ndarray, k: int):
+    """k distinct clouds (1 mm jitter on the clean frame): enough to defeat
+    any content/identity caching on the transfer path while keeping the
+    workload the same scale."""
+    rng = np.random.default_rng(1234)
+    return [
+        (pc + rng.normal(0, 0.001, pc.shape)).astype(np.float32) for _ in range(k)
+    ]
 
 
 def main() -> None:
@@ -157,15 +173,19 @@ def main() -> None:
     )
     emit(head)
 
-    # ---- decode (config 1 blobs)
-    blobs = [blob1] * BATCH
-    engine1.decode_blobs(blobs)  # warm
+    # ---- decode (config 1 blobs; distinct frames, pipelined)
+    var_results = engine1.encode_frames(
+        [v for v in _jittered_variants(pc, 8) for _ in range(4)], seeds=range(BATCH)
+    )
+    var_blobs = [b for b, _ in var_results]
+    engine1.decode_blobs(var_blobs)  # warm
+    reps = 8
     t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        recs = engine1.decode_blobs(blobs)
+    for recs in engine1.decode_pipeline([var_blobs] * reps):
+        pass
     dec_e2e = reps * BATCH / (time.perf_counter() - t0) / n_chips
-    rec_ri = np.linalg.norm(recs[0], axis=-1)
+    recs0 = engine1.decode_blobs([blob1])
+    rec_ri = np.linalg.norm(recs0[0], axis=-1)
     emit(
         {
             "metric": "kitti64e_e2e_decode_throughput_acc0.02_" + cfg1.basic_compressor,
@@ -208,27 +228,30 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as td:
         files = []
+        dl_variants = _jittered_variants(pc, 8)
         for i in range(BATCH * 2):
             p = os.path.join(td, f"frames/{i:06d}.bin")
             os.makedirs(os.path.dirname(p), exist_ok=True)
-            np.concatenate([pc, np.zeros((pc.shape[0], 1), np.float32)], -1).tofile(p)
+            v = dl_variants[i % len(dl_variants)]
+            np.concatenate([v, np.zeros((v.shape[0], 1), np.float32)], -1).tofile(p)
             files.append(p)
         from rpcc_tpu.cli.compress_datalist import output_path_for
         from rpcc_tpu.data.pointcloud_io import load_point_cloud as load_pc
 
         t0 = time.perf_counter()
         done = 0
-        pending = None
-        for s in range(0, len(files), BATCH):
-            chunk = files[s : s + BATCH]
-            cl = [load_pc(f) for f in chunk]
-            fut = engine1.encode_batch_async(cl, seeds=range(s, s + len(cl)))
-            if pending is not None:
-                _drain_datalist(engine1, pending, td)
-                done += pending[1]
-            pending = (fut, len(chunk), chunk)
-        _drain_datalist(engine1, pending, td)
-        done += pending[1]
+
+        def dl_gen():
+            for s in range(0, len(files), BATCH):
+                chunk = files[s : s + BATCH]
+                yield [load_pc(f) for f in chunk], range(s, s + len(chunk))
+
+        name_chunks = [files[s : s + BATCH] for s in range(0, len(files), BATCH)]
+        for chunk, results in zip(name_chunks, engine1.encode_pipeline(dl_gen())):
+            for (blob, _f), name in zip(results, chunk):
+                with open(output_path_for(name, td + "/out", "rpcc"), "wb") as f:
+                    f.write(blob)
+                done += 1
         dl_fps = done / (time.perf_counter() - t0) / n_chips
     emit(
         {
@@ -243,16 +266,6 @@ def main() -> None:
 
     # Headline last: drivers that parse the final line get config 1.
     emit(head)
-
-
-def _drain_datalist(engine, pending, out_dir):
-    from rpcc_tpu.cli.compress_datalist import output_path_for
-
-    fut, live, names = pending
-    results = engine.finalize_encoded(*fut.result())
-    for (blob, _), name in zip(results, names):
-        with open(output_path_for(name, out_dir + "/out", "rpcc"), "wb") as f:
-            f.write(blob)
 
 
 def synth_cloud_for(lidar, seed=0):

@@ -82,21 +82,44 @@ def main() -> None:
     t0 = time.time()
     done = 0
     errors = 0
-    pending = None  # (future -> (device handle, live), names)
-    for start in range(0, n, args.batch):
-        names = file_list[start : start + args.batch]
-        clouds = list(io_pool.map(load, range(start, min(start + args.batch, n))))
-        seeds = [cfg.seed + start + i for i in range(len(clouds))]
-        fut = engine.encode_batch_async(clouds, seeds)
+    if args.output or args.eval:
+        # Diagnostic path: per-batch reports need the device range image.
+        pending = None  # (future -> (device handle, live), names)
+        for start in range(0, n, args.batch):
+            names = file_list[start : start + args.batch]
+            clouds = list(io_pool.map(load, range(start, min(start + args.batch, n))))
+            seeds = [cfg.seed + start + i for i in range(len(clouds))]
+            fut = engine.encode_batch_async(clouds, seeds)
+            if pending is not None:
+                out, live = pending[0].result()
+                errors += _drain((out, live, pending[1]), engine, args)
+                done += live
+            pending = (fut, names)
         if pending is not None:
             out, live = pending[0].result()
             errors += _drain((out, live, pending[1]), engine, args)
             done += live
-        pending = (fut, names)
-    if pending is not None:
-        out, live = pending[0].result()
-        errors += _drain((out, live, pending[1]), engine, args)
-        done += live
+    else:
+        # Throughput path: 3-deep pipeline (upload k / download k-1 /
+        # entropy+write k-2 all overlap).
+        def gen():
+            for start in range(0, n, args.batch):
+                clouds = list(io_pool.map(load, range(start, min(start + args.batch, n))))
+                yield clouds, [cfg.seed + start + i for i in range(len(clouds))]
+
+        name_batches = [file_list[s : s + args.batch] for s in range(0, n, args.batch)]
+        for names, results in zip(name_batches, engine.encode_pipeline(gen())):
+            for (blob, _fields), name in zip(results, names):
+                try:
+                    path = output_path_for(name, args.output_dir, "rpcc")
+                    with open(path, "wb") as f:
+                        f.write(blob)
+                    done += 1
+                except Exception as e:
+                    if not args.keep_going:
+                        raise
+                    errors += 1
+                    print(f"ERROR writing output for {name}: {e}")
 
     dt = time.time() - t0
     print(f"\nCompressed {done} frames in {dt:.2f}s ({done / dt:.2f} frames/s)"

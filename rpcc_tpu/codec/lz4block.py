@@ -14,7 +14,7 @@ import threading
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "librpcc_native.so")
-_SOURCES = ["lz4.cpp", "deflate.cpp", "rans.cpp"]
+_SOURCES = ["lz4.cpp", "deflate.cpp", "rans.cpp", "raster.cpp"]
 _lock = threading.Lock()
 _lib = None
 _lib_failed = False

@@ -60,7 +60,7 @@ class EncoderOutput(NamedTuple):
     key_point_map: Optional[jnp.ndarray]  # (H, W) i32 or None
 
 
-def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
+def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig, from_ri: bool = False):
     """Build the raw (traceable) single-frame encode function.
 
     ``encode(points (N,3) f32, seed u32, step) -> EncoderOutput`` — pure, so
@@ -69,6 +69,12 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
     thresholds) is closed over; ``seed`` drives the deterministic
     RANSAC/subsample PRNG; ``step`` is traced so changing ``--accuracy``
     never recompiles.
+
+    With ``from_ri=True`` the first argument is the (H, W) f32 range image
+    instead of the raw cloud — the production pipelines project on the host
+    (``ops.projection.project_points_host``, mirroring the reference's host
+    C++ projection) and upload 3x fewer bytes; the in-graph projection stays
+    for pure-device use.
     """
     tm_planes = jnp.asarray(build_transform_planes(lidar))  # (3, H, W) planar
     H, W = lidar.height, lidar.width
@@ -87,7 +93,10 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
         key = jax.random.PRNGKey(seed)
         k_seg, k_model = jax.random.split(key)
 
-        ri = project_points(points, lidar, v_angles)  # (H, W)
+        if from_ri:
+            ri = points  # (H, W) f32, projected on host
+        else:
+            ri = project_points(points, lidar, v_angles)  # (H, W)
         pc_planes = ri[None, :, :] * tm_planes  # (3, H, W) planar cloud
 
         if cfg.segment_method == "DBSCAN":
@@ -183,20 +192,21 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig):
     return encode
 
 
-def make_encoder(lidar: LidarConfig, cfg: CodecConfig):
+def make_encoder(lidar: LidarConfig, cfg: CodecConfig, from_ri: bool = False):
     """Jitted single-frame encoder."""
-    return jax.jit(build_encode_fn(lidar, cfg))
+    return jax.jit(build_encode_fn(lidar, cfg, from_ri=from_ri))
 
 
-def make_batch_encoder(lidar: LidarConfig, cfg: CodecConfig, mesh=None):
-    """Jitted batched encoder over (B, N, 3) points and (B,) seeds.
+def make_batch_encoder(lidar: LidarConfig, cfg: CodecConfig, mesh=None, from_ri: bool = False):
+    """Jitted batched encoder over (B, N, 3) points (or (B, H, W) range
+    images with ``from_ri=True``) and (B,) seeds.
 
     With a ``mesh`` (1-D, axis 'data'), inputs/outputs are sharded over the
     batch dimension — frame-level data parallelism across chips, the TPU
     equivalent of the reference's ThreadPoolExecutor over frames
     (tools/compress_datalist.py:202-206).
     """
-    fn = jax.vmap(build_encode_fn(lidar, cfg), in_axes=(0, 0, None))
+    fn = jax.vmap(build_encode_fn(lidar, cfg, from_ri=from_ri), in_axes=(0, 0, None))
     if mesh is None:
         return jax.jit(fn)
     from jax.sharding import NamedSharding, PartitionSpec as P

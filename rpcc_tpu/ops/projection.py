@@ -134,7 +134,15 @@ def _scatter_min_image(
     k1, d1 = jax.lax.sort((keys, depths), num_keys=2, is_stable=False)
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), k1[:-1]])
     head = (k1 != prev).astype(jnp.int32)
-    _, dheads = jax.lax.sort((1 - head, d1), num_keys=1, is_stable=True)
+    # Compaction sort #2: heads must land at positions 0..hw-1 in PIXEL
+    # order.  Head keys are exactly the distinct pixel ids, so packing
+    # (1-head, pixel) into one i32 makes the key total order unique wherever
+    # it matters — an UNSTABLE single-key sort then needs no iota
+    # augmentation (non-head duplicates may permute freely; they're sliced
+    # off).  hw < 2^30 always holds for range-image grids.
+    shift = max(int(hw).bit_length(), 1)
+    packed = ((1 - head) << shift) | k1
+    _, dheads = jax.lax.sort((packed, d1), num_keys=1, is_stable=False)
     ri = dheads[:hw]
     ri = jnp.where(jnp.isinf(ri), 0.0, ri)
     return ri.reshape(H, W)
@@ -143,3 +151,91 @@ def _scatter_min_image(
 def range_image_to_points(range_image: jnp.ndarray, transform_map: jnp.ndarray) -> jnp.ndarray:
     """(.., H, W) range image -> (.., H, W, 3) points: one broadcast multiply."""
     return range_image[..., None] * transform_map
+
+
+# --------------------------------------------------------- host projection
+# The production pipelines project on the HOST and upload the (H, W) range
+# image: 3x fewer bytes over PCIe/ICI than the raw (N, 3) cloud, no device
+# compaction sorts (which were ~44% of the device encode), and bitstreams
+# become backend-independent (numpy binning instead of per-backend
+# transcendental ulps).  This mirrors the reference architecture — its
+# projection is a host C++ kernel too (cpp_modules.cpp:427-467).  The
+# in-graph ``project_points`` above remains for pure-device pipelines.
+
+
+def _round_half_away_np(x: np.ndarray) -> np.ndarray:
+    """numpy twin of ops/rounding.py::round_half_away (C ``round()``)."""
+    return np.trunc(x + np.where(x >= 0, np.float32(0.5), np.float32(-0.5)))
+
+
+def bin_points_host(points: np.ndarray, lidar: LidarConfig):
+    """(N, >=3) cloud -> (depth (N,) f32, flat pixel index (N,) i32).
+
+    Float32 throughout, same formulas/constants as ``project_points`` (C
+    ``round`` half-away binning, reference 2*3.14159265 wrap, nearest-channel
+    rows for uneven LiDARs).  Padding rows (all-zero) get depth 0.
+    """
+    pts = np.asarray(points, np.float32)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    depth = np.sqrt(x * x + y * y + z * z)
+    az = np.arctan2(y, x)
+    az = np.where(az < 0, az + np.float32(_TWO_PI_REF), az)
+    H, W = lidar.height, lidar.width
+    horiz = np.sqrt(x * x + y * y)
+    v_ang = np.arctan2(z, horiz)
+    if lidar.even_dist:
+        col = _round_half_away_np(
+            az / np.float32(lidar.horizontal_fov) * np.float32(W)
+        ).astype(np.int32) % W
+        # One f64->f32 cast AFTER the python-float division, matching the
+        # device graph's weak-type promotion of the closed-over scalar.
+        vres = np.float32((lidar.vertical_max - lidar.vertical_min) / (H - 1))
+        row = _round_half_away_np(
+            (v_ang - np.float32(lidar.vertical_min)) / vres
+        ).astype(np.int32)
+        row = np.clip(row, 0, H - 1)
+    else:
+        # np.rint (half-even) + nearest-channel row (transformer.py:73-83).
+        col = np.rint(az / np.float32(lidar.horizontal_fov) * np.float32(W)).astype(np.int32) % W
+        va = np.radians(np.asarray(lidar.vertical_angles_deg, np.float64)).astype(np.float32)
+        row = np.argmin(np.abs(va[None, :] - v_ang[:, None]), axis=-1).astype(np.int32)
+    return depth, (row * np.int32(W) + col).astype(np.int32)
+
+
+def raster_range_image_host(depth: np.ndarray, flat_idx: np.ndarray, H: int, W: int) -> np.ndarray:
+    """Keep-nearest scatter-min on host -> (H, W) f32 range image.
+
+    Native C++ loop when available (codec/native/raster.cpp, ~0.3 ms/frame);
+    numpy fallback: stable-ascending depth sort reversed, so the last fancy-
+    index write per pixel is the nearest point, and among exact depth ties
+    the FIRST point in input order wins — identical to the C++/device paths.
+    """
+    from rpcc_tpu.codec.lz4block import native_lib
+
+    ri = np.zeros(H * W, np.float32)
+    depth = np.ascontiguousarray(depth, np.float32)
+    flat_idx = np.ascontiguousarray(flat_idx, np.int32)
+    lib = native_lib()
+    if lib is not None and hasattr(lib, "raster_scatter_min"):
+        import ctypes as ct
+
+        lib.raster_scatter_min(
+            depth.ctypes.data_as(ct.c_void_p),
+            flat_idx.ctypes.data_as(ct.c_void_p),
+            ct.c_int64(depth.shape[0]),
+            ri.ctypes.data_as(ct.c_void_p),
+            ct.c_int64(H * W),
+        )
+    else:
+        o = np.argsort(depth, kind="stable")[::-1]
+        d = depth[o]
+        k = flat_idx[o]
+        live = d > 0
+        ri[k[live]] = d[live]
+    return ri.reshape(H, W)
+
+
+def project_points_host(points: np.ndarray, lidar: LidarConfig) -> np.ndarray:
+    """Host twin of ``project_points``: (N, >=3) cloud -> (H, W) range image."""
+    depth, flat_idx = bin_points_host(points, lidar)
+    return raster_range_image_host(depth, flat_idx, lidar.height, lidar.width)

@@ -41,6 +41,33 @@ def test_engine_async_pipeline():
     assert res_a[0][0] != res_b[0][0]
 
 
+def test_engine_encode_pipeline_matches_sync_and_roundtrips():
+    """The 3-deep pipeline must yield per-batch results in input order and
+    byte-identical to the synchronous path; decode_pipeline must roundtrip."""
+    cfg = CodecConfig(cluster_num=16)
+    engine = BatchEngine(SMALL, cfg, batch_size=4, workers=2)
+    batches = [
+        ([synth_scene(seed=3 * k + s) for s in range(4)], range(4 * k, 4 * k + 4))
+        for k in range(5)  # > pipeline depth, exercises drain
+    ]
+    piped = list(engine.encode_pipeline(iter(batches)))
+    assert len(piped) == 5
+    sync = [engine.encode_frames(c, seeds=s) for c, s in batches]
+    for pb, sb in zip(piped, sync):
+        assert [b for b, _ in pb] == [b for b, _ in sb]
+
+    blob_batches = [[b for b, _ in pb] for pb in piped]
+    decoded = list(engine.decode_pipeline(iter(blob_batches)))
+    assert len(decoded) == 5
+    bound = cfg.step + 1e-5
+    for (clouds, seeds), recs in zip(batches, decoded):
+        out, _ = engine.encode_batch_device(clouds, seeds=seeds)
+        ri = np.asarray(out.range_image)
+        for i, rec in enumerate(recs):
+            rec_ri = np.linalg.norm(rec, axis=-1)
+            assert np.abs(rec_ri - ri[i]).max() <= bound
+
+
 def test_engine_partial_batch():
     cfg = CodecConfig(cluster_num=16)
     engine = BatchEngine(SMALL, cfg, batch_size=4, workers=2)

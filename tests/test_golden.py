@@ -47,10 +47,14 @@ def codec_and_frame():
 #    wavefront contour coding): default bpp 2.8144.
 #  - 2026-08-16 r2: ground candidate pool is a random-phase strided lattice
 #    (random-index gathers cost 28ms/batch on TPU): rans bpp 2.8200.
-GOLDEN_BPP = 2.8200
-GOLDEN_SHA = "2261182db96781b4c862c53a96b8354bda247d0a39e3bf9e30064c1661e5ae61"
-GOLDEN_BZIP2_BPP = 3.0930
-GOLDEN_BZIP2_SHA = "e335c9c331ebca63c17885788eacbc4a947fab0186597ba539c6e5afd245b7cc"
+#  - 2026-08-16 r2: projection moved to the host production path (numpy f32
+#    binning + native scatter-min; backend-independent bitstreams, 3x
+#    smaller uploads).  Depths differ from the XLA in-graph path by FMA-
+#    contraction ulps: rans bpp 2.8205, bzip2 bpp 3.0981.
+GOLDEN_BPP = 2.8205
+GOLDEN_SHA = "e7d1c013ebfe75938695cba90f27a07e008104a51ace576680d73e445299c12f"
+GOLDEN_BZIP2_BPP = 3.0981
+GOLDEN_BZIP2_SHA = "0c6995d79677e60f9327bc3f87a01250b97807566f611ea055784a4e0224d797"
 
 
 def test_kitti_example_operating_point(codec_and_frame):
