@@ -22,18 +22,22 @@ _lib_failed = False
 
 def _build_native() -> bool:
     srcs = [os.path.join(_NATIVE_DIR, s) for s in _SOURCES]
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-fopenmp",
-        "-o", _SO_PATH, *srcs, "-lz",
-    ]
+    # -ffp-contract=off: raster.cpp's projection must stay bit-identical to
+    # the numpy fallback; a compiler-fused FMA would change the angle bits.
+    # -fno-math-errno / -fno-trapping-math let sqrt and guarded divisions
+    # vectorize (IEEE results unchanged — only errno/exception flags are
+    # dropped); full -ffast-math would break the bit-exactness contract.
+    base = ["g++", "-O3", "-march=native", "-ffp-contract=off",
+            "-fno-math-errno", "-fno-trapping-math", "-shared", "-fPIC",
+            "-std=c++17"]
+    cmd = [*base, "-fopenmp", "-o", _SO_PATH, *srcs, "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return True
     except Exception:
         # Retry without OpenMP (not all toolchains ship libgomp).
         try:
-            cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                   "-o", _SO_PATH, *srcs, "-lz"]
+            cmd = [*base, "-o", _SO_PATH, *srcs, "-lz"]
             subprocess.run(cmd, check=True, capture_output=True)
             return True
         except Exception:
@@ -82,6 +86,17 @@ def _load():
             fn.restype = ctypes.c_size_t
             fn.argtypes = [
                 ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+            ]
+        fn = getattr(lib, "project_bin_raster", None)
+        if fn is not None:
+            # c_float argtypes are required: untyped ctypes calls promote
+            # python floats to double and corrupt the ABI.
+            fn.restype = None
+            fn.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_float, ctypes.c_float, ctypes.c_float,
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
             ]
         _lib = lib
         return _lib

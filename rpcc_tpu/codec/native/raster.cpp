@@ -1,13 +1,75 @@
-// Host rasterization: keep-nearest scatter-min onto the range-image grid.
+// Host projection: fused binning + keep-nearest scatter-min onto the range
+// image grid.
 //
-// The production encode path projects on the host (binning in numpy, this
-// loop in C++) and uploads the (H, W) range image — 3x fewer bytes than the
-// raw cloud and no device-side compaction sorts.  Semantics match the
-// reference host kernel (cpp_modules.cpp:459-460: write if empty or strictly
-// nearer — first writer wins exact ties) and the device sort path
+// The production encode path projects on the host and uploads the (H, W)
+// range image — 3x fewer bytes than the raw cloud and no device-side
+// compaction sorts.  Semantics match the reference host kernel
+// (cpp_modules.cpp:427-467: write if empty or strictly nearer — first
+// writer wins exact ties) and the device sort path
 // (ops/projection.py::_scatter_min_image).
+//
+// BIT-EXACTNESS: this file is the scalar twin of the numpy fallback in
+// ops/projection.py (bin_points_host / _atan2_det).  Angles and depth are
+// computed in double with an identical +,-,*,/ sequence (each op IEEE
+// exact-rounded, so both implementations produce identical bits); binning
+// runs in float with the same op order.  Keep the coefficient list below in
+// sync with _ATAN_COEFFS.  Built with -ffp-contract=off so the compiler
+// cannot fuse a*b+c into FMA and break the equivalence.
 
+#include <cmath>
 #include <cstdint>
+
+namespace {
+
+constexpr double kAtanW8 = 0.41421356237309503;  // tan(pi/8)
+constexpr double kAtanC[9] = {
+    0.999999999999762,
+    -0.3333333332494847,
+    0.19999999129892043,
+    -0.14285673103306398,
+    0.11110049848756427,
+    -0.09074709961180911,
+    0.07540656567851425,
+    -0.05797933104322553,
+    0.02961455500835997,
+};
+constexpr double kPi = 3.141592653589793;
+// Reference wrap constant (transformer.py:64: az += 2*3.14159265).
+constexpr float kTwoPiRef = 2.0f * 3.14159265f;
+
+// Branchless (select-style) and loop-free so gcc can auto-vectorize the
+// binning pass; identical op sequence to the numpy fallback
+// (projection.py::_atan2_det).
+inline double atan2_det(double y, double x) {
+  double ay = std::fabs(y), ax = std::fabs(x);
+  bool swap = ay > ax;
+  double num = swap ? ax : ay;
+  double den = swap ? ay : ax;
+  double t = num / (den == 0.0 ? 1.0 : den);  // numpy guards the same way
+  bool red = t > kAtanW8;
+  double u = red ? (t - 1.0) / (t + 1.0) : t;
+  double u2 = u * u;
+  double p = kAtanC[8];
+  p = p * u2 + kAtanC[7];
+  p = p * u2 + kAtanC[6];
+  p = p * u2 + kAtanC[5];
+  p = p * u2 + kAtanC[4];
+  p = p * u2 + kAtanC[3];
+  p = p * u2 + kAtanC[2];
+  p = p * u2 + kAtanC[1];
+  p = p * u2 + kAtanC[0];
+  double a = u * p + (red ? kPi / 4 : 0.0);
+  a = swap ? kPi / 2 - a : a;
+  a = (x < 0) ? kPi - a : a;
+  a = (y < 0) ? -a : a;
+  return (den == 0.0) ? 0.0 : a;
+}
+
+inline float round_half_away(float v) {
+  return truncf(v + (v >= 0.0f ? 0.5f : -0.5f));
+}
+
+}  // namespace
 
 extern "C" void raster_scatter_min(const float *depth, const int32_t *idx,
                                    int64_t n, float *ri, int64_t hw) {
@@ -18,5 +80,86 @@ extern "C" void raster_scatter_min(const float *depth, const int32_t *idx,
     if (k < 0 || k >= hw) continue;
     float cur = ri[k];
     if (cur == 0.0f || d < cur) ri[k] = d;
+  }
+}
+
+// Fused bin + raster.  pts is (n, stride) row-major with x,y,z leading;
+// ri must be zero-initialized with H*W floats.  For even-distribution
+// lidars pass v_angles == nullptr; for CSV lidars pass the f32 radian
+// table (np.radians(deg f64).astype(f32)) and its length n_chan.
+extern "C" void project_bin_raster(const float *pts, int64_t n, int64_t stride,
+                                   int32_t H, int32_t W, int32_t even_dist,
+                                   float hfov, float vmin, float vres,
+                                   const float *v_angles, int32_t n_chan,
+                                   float *ri) {
+  const float Wf = (float)W;
+  const int64_t hw = (int64_t)H * W;
+  constexpr int CHUNK = 2048;  // L1-resident temporaries
+  float xb[CHUNK], yb[CHUNK], zb[CHUNK];
+  float az_buf[CHUNK], v_buf[CHUNK], depth_buf[CHUNK];
+  int32_t idx_buf[CHUNK];
+  for (int64_t base = 0; base < n; base += CHUNK) {
+    const int m = (int)((n - base < CHUNK) ? (n - base) : CHUNK);
+    // Pass A0: de-interleave the (runtime-)strided cloud into contiguous
+    // buffers — the strided load is what blocks vectorization of the math.
+    for (int i = 0; i < m; ++i) {
+      const float *p = pts + (base + i) * stride;
+      xb[i] = p[0];
+      yb[i] = p[1];
+      zb[i] = p[2];
+    }
+    // Pass A1 (the ~90%: two atan2 + two sqrt per point): pure float/double
+    // arithmetic with selects only — gcc vectorizes this with 64-byte
+    // vectors.  Int conversions live in A2 so they cannot poison it.
+    for (int i = 0; i < m; ++i) {
+      double x64 = (double)xb[i], y64 = (double)yb[i], z64 = (double)zb[i];
+      double xx = x64 * x64;
+      double h2 = xx + y64 * y64;
+      double d2 = h2 + z64 * z64;
+      float az = (float)atan2_det(y64, x64);
+      az_buf[i] = (az < 0.0f) ? az + kTwoPiRef : az;
+      v_buf[i] = (float)atan2_det(z64, std::sqrt(h2));
+      depth_buf[i] = (float)std::sqrt(d2);
+    }
+    // Pass A2: binning.  az >= 0 after the wrap, so the raw column is
+    // almost always in [0, 2W) and the floored modulo reduces to one
+    // conditional subtract (the integer division would cost more than the
+    // whole pass); out-of-range stragglers (limited-FOV lidars) take the
+    // exact numpy floored-% path.
+    if (even_dist) {
+      for (int i = 0; i < m; ++i) {
+        int32_t c = (int32_t)round_half_away(az_buf[i] / hfov * Wf);
+        int32_t col = (c >= W) ? c - W : c;
+        if ((uint32_t)col >= (uint32_t)W) col = ((c % W) + W) % W;
+        int32_t row = (int32_t)round_half_away((v_buf[i] - vmin) / vres);
+        row = (row < 0) ? 0 : row;
+        row = (row > H - 1) ? H - 1 : row;
+        idx_buf[i] = row * W + col;
+      }
+    } else {
+      for (int i = 0; i < m; ++i) {
+        int32_t c = (int32_t)rintf(az_buf[i] / hfov * Wf);  // half-even
+        int32_t col = (c >= W) ? c - W : c;
+        if ((uint32_t)col >= (uint32_t)W) col = ((c % W) + W) % W;
+        float v_ang = v_buf[i];
+        int32_t row = 0;
+        float best = std::fabs(v_angles[0] - v_ang);
+        for (int32_t j = 1; j < n_chan; ++j) {
+          float ad = std::fabs(v_angles[j] - v_ang);
+          row = (ad < best) ? j : row;
+          best = (ad < best) ? ad : best;
+        }
+        idx_buf[i] = row * W + col;
+      }
+    }
+    // Pass B: scalar keep-nearest scatter.
+    for (int i = 0; i < m; ++i) {
+      float d = depth_buf[i];
+      if (!(d > 0.0f)) continue;
+      int64_t k = idx_buf[i];
+      if (k < 0 || k >= hw) continue;
+      float cur = ri[k];
+      if (cur == 0.0f || d < cur) ri[k] = d;
+    }
   }
 }

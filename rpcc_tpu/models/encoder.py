@@ -58,6 +58,21 @@ class EncoderOutput(NamedTuple):
     seq_len: jnp.ndarray  # () i32
     salience: Optional[jnp.ndarray]  # (M,) u8 or None (uniform)
     key_point_map: Optional[jnp.ndarray]  # (H, W) i32 or None
+    # Transfer-compressed residual stream: |q| <= 127 for ~99.98% of real
+    # residuals, so the host downloads the i8 view plus a tiny exception
+    # list instead of the i16 stream — half the bytes on the wire (this
+    # rig's device->host path is ~40 MB/s).  The i16 ``stream`` above stays
+    # materialized for the rare exc_count > EXC_CAP fallback; jax arrays
+    # only transfer when read.
+    stream_i8: jnp.ndarray  # (HW,) i8; -128 marks an exception slot
+    exc_pos: jnp.ndarray  # (EXC_CAP,) i32 stream positions, |q|-descending
+    exc_val: jnp.ndarray  # (EXC_CAP,) i16 true values
+    exc_count: jnp.ndarray  # () i32 number of live exceptions
+
+
+# Per-frame capacity of the transfer-exception list (observed ~18 on KITTI;
+# the engine falls back to the full i16 download past this, losslessly).
+EXC_CAP = 256
 
 
 def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig, from_ri: bool = False):
@@ -175,18 +190,32 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig, from_ri: bool = False)
         live = jnp.arange(hw) < order.stream_len
         q = jnp.where(live, q, 0)
 
+        # Transfer compression of the residual stream: i8 body + top_k
+        # exception list (one partial sort over |q|, no scatters).
+        q16 = q.astype(jnp.int16)
+        absq = jnp.abs(q)
+        is_exc = absq > 127
+        exc_count = is_exc.sum().astype(jnp.int32)
+        _, exc_pos = jax.lax.top_k(absq, EXC_CAP)  # exceptions sort first
+        exc_val = q16[exc_pos]
+        q8 = jnp.where(is_exc, -128, q).astype(jnp.int8)
+
         code = extract_contour(seg)
         return EncoderOutput(
             range_image=ri,
             seg_idx=seg,
             model_param=model_param,
-            stream=q.astype(jnp.int16),  # reference casts int16 (compress_utils.py:142)
+            stream=q16,  # reference casts int16 (compress_utils.py:142)
             stream_len=order.stream_len,
             contour_packed=pack_bits_msb(code.contour),
             sequence=code.sequence.astype(jnp.uint16),  # reference casts uint16 (:160)
             seq_len=code.seq_len,
             salience=salience,
             key_point_map=kp_map,
+            stream_i8=q8,
+            exc_pos=exc_pos.astype(jnp.int32),
+            exc_val=exc_val,
+            exc_count=exc_count,
         )
 
     return encode

@@ -29,7 +29,7 @@ from rpcc_tpu.codec.bitstream import pack_bitstream, unpack_bitstream
 from rpcc_tpu.codec.entropy import BasicCompressor
 from rpcc_tpu.config import CodecConfig, LidarConfig
 from rpcc_tpu.models.decoder import make_batch_decoder
-from rpcc_tpu.models.encoder import make_batch_encoder
+from rpcc_tpu.models.encoder import EXC_CAP, make_batch_encoder
 def _bucket(n: int, cap: int, quantum: int = 8192) -> int:
     """Round a live length up to a transfer bucket (bounded slice variants)."""
     return min(cap, max(quantum, -(-n // quantum) * quantum))
@@ -46,11 +46,15 @@ class _Staged(NamedTuple):
     live: int
     stream_len: "np.ndarray"
     seq_len: "np.ndarray"
-    stream_dev: object  # (B, m_stream) i16, async copy queued
+    stream_dev: object  # (B, m_stream) i8 transfer view, async copy queued
     seq_dev: object  # (B, m_seq) u16, async copy queued
     contour_dev: object  # (B, HW/8) u8
     models_dev: object  # (B, M, 4) f32
     salience_dev: object  # (B, M) u8 or None
+    exc_pos_dev: object  # (B, EXC_CAP) i32
+    exc_val_dev: object  # (B, EXC_CAP) i16
+    exc_count: "np.ndarray"  # (B,) i32, already materialized
+    stream16_dev: object  # (B, HW) i16 — only read on exc_count > EXC_CAP
 
 
 class BatchEngine:
@@ -119,7 +123,8 @@ class BatchEngine:
         )
         out = self._encode_b(pts, seeds, self._step_arg)
         _copy_async(out.stream_len, out.seq_len, out.contour_packed,
-                    out.model_param, out.salience)
+                    out.model_param, out.salience,
+                    out.exc_pos, out.exc_val, out.exc_count)
         return out, live
 
     def stage_downloads(self, out, live: int) -> _Staged:
@@ -136,11 +141,13 @@ class BatchEngine:
         # runs, and this rig's download path is an e2e bottleneck.
         m_stream = _bucket(int(stream_len.max()) if stream_len.size else 1, self.hw)
         m_seq = _bucket(int(seq_len.max()) if seq_len.size else 1, self.hw)
-        stream_dev = out.stream[:, :m_stream]
+        stream_dev = out.stream_i8[:, :m_stream]
         seq_dev = out.sequence[:, :m_seq]
         _copy_async(stream_dev, seq_dev)
         return _Staged(live, stream_len, seq_len, stream_dev, seq_dev,
-                       out.contour_packed, out.model_param, out.salience)
+                       out.contour_packed, out.model_param, out.salience,
+                       out.exc_pos, out.exc_val, np.asarray(out.exc_count),
+                       out.stream)
 
     def finalize_encoded(self, out, live: int) -> List[Tuple[bytes, Dict[str, np.ndarray]]]:
         """Trim per-frame fields + entropy-code them on the thread pool."""
@@ -149,7 +156,23 @@ class BatchEngine:
     def finish_staged(self, st: _Staged) -> List[Tuple[bytes, Dict[str, np.ndarray]]]:
         """Pipeline stage 3: materialize host copies, entropy-code, frame."""
         live, stream_len, seq_len = st.live, st.stream_len, st.seq_len
-        stream = np.asarray(st.stream_dev)
+        if (st.exc_count[:live] > EXC_CAP).any():
+            # Degenerate content (>EXC_CAP residuals beyond |127| in one
+            # frame): lossless fallback to the full i16 download.
+            stream = np.asarray(st.stream16_dev)
+        else:
+            # Reconstruct the exact i16 stream from the i8 transfer view +
+            # exception list (half the device->host bytes).
+            stream = np.asarray(st.stream_dev).astype(np.int16)
+            exc_pos = np.asarray(st.exc_pos_dev)
+            exc_val = np.asarray(st.exc_val_dev)
+            m = stream.shape[1]
+            for i in range(live):
+                n = int(st.exc_count[i])
+                if n:
+                    p = exc_pos[i, :n]
+                    keep = p < m
+                    stream[i, p[keep]] = exc_val[i, :n][keep]
         seq = np.asarray(st.seq_dev)
         contour_packed = np.asarray(st.contour_dev)
         models = np.asarray(st.models_dev)
@@ -162,8 +185,6 @@ class BatchEngine:
         contour_blobs = None
         seq_blobs = None
         if self.cfg.basic_compressor == "rans":
-            import bz2 as _bz2
-
             from rpcc_tpu.codec import rans_codec
 
             resid_blobs = rans_codec.compress_delta_batch(
@@ -172,11 +193,8 @@ class BatchEngine:
             contour_blobs = rans_codec.compress_contour_batch(
                 [contour_packed[i] for i in range(live)], self.H, self.W
             )
-            seqs = [seq[i, : seq_len[i]].astype(np.uint16) for i in range(live)]
-            seq_delta = rans_codec.compress_delta_batch(seqs)
             seq_blobs = [
-                min(d, bytes([rans_codec.MAGIC_BZ]) + _bz2.compress(s.tobytes()), key=len)
-                for d, s in zip(seq_delta, seqs)
+                rans_codec.compress_seq_u16(seq[i, : seq_len[i]]) for i in range(live)
             ]
 
         def one(i: int) -> Tuple[bytes, Dict[str, np.ndarray]]:

@@ -27,6 +27,51 @@ def test_engine_sharded_roundtrip_over_mesh():
         assert np.abs(rec_ri - ri[i]).max() <= cfg.step + 1e-5
 
 
+def test_engine_i8_transfer_exceptions_and_fallback():
+    """The i8 transfer view of the residual stream must reconstruct the i16
+    stream exactly — both through the exception list (few |q|>127) and the
+    full-download fallback (exc_count > EXC_CAP on noise-like content)."""
+    from rpcc_tpu.models.encoder import EXC_CAP
+
+    cfg = CodecConfig(cluster_num=16)
+    engine = BatchEngine(SMALL, cfg, batch_size=2, workers=2)
+    rng = np.random.default_rng(7)
+
+    # Noise cloud: residuals are huge everywhere -> thousands of exceptions.
+    n = 4000
+    noise = np.stack(
+        [rng.uniform(-50, 50, n), rng.uniform(-50, 50, n), rng.uniform(-3, 30, n)],
+        -1,
+    ).astype(np.float32)
+    clouds = [synth_scene(seed=1), noise]
+    out, live = engine.encode_batch_device(clouds, seeds=[0, 1])
+    exc_count = np.asarray(out.exc_count)
+    assert exc_count[1] > EXC_CAP  # fallback actually exercised
+
+    # Whatever the path, the framed bitstreams must equal an i16-only build.
+    st = engine.stage_downloads(out, live)
+    stream16 = np.asarray(out.stream)[:, : np.asarray(st.stream_dev).shape[1]]
+    results = engine.finish_staged(st)
+    for i, (blob, fields) in enumerate(results):
+        np.testing.assert_array_equal(
+            fields["residual_quantized"],
+            stream16[i, : int(np.asarray(out.stream_len)[i])],
+        )
+
+    # Exception path (not fallback): verify reconstruction equality directly.
+    out2, live2 = engine.encode_batch_device([synth_scene(seed=2)] * 2, seeds=[5, 6])
+    exc2 = np.asarray(out2.exc_count)
+    assert (exc2 <= EXC_CAP).all()
+    st2 = engine.stage_downloads(out2, live2)
+    rec = engine.finish_staged(st2)
+    full16 = np.asarray(out2.stream)
+    for i, (_, fields) in enumerate(rec):
+        np.testing.assert_array_equal(
+            fields["residual_quantized"],
+            full16[i, : int(np.asarray(out2.stream_len)[i])],
+        )
+
+
 def test_engine_async_pipeline():
     cfg = CodecConfig(cluster_num=16)
     engine = BatchEngine(SMALL, cfg, batch_size=4, workers=2)

@@ -51,10 +51,16 @@ def codec_and_frame():
 #    binning + native scatter-min; backend-independent bitstreams, 3x
 #    smaller uploads).  Depths differ from the XLA in-graph path by FMA-
 #    contraction ulps: rans bpp 2.8205, bzip2 bpp 3.0981.
-GOLDEN_BPP = 2.8205
-GOLDEN_SHA = "e7d1c013ebfe75938695cba90f27a07e008104a51ace576680d73e445299c12f"
-GOLDEN_BZIP2_BPP = 3.0981
-GOLDEN_BZIP2_SHA = "0c6995d79677e60f9327bc3f87a01250b97807566f611ea055784a4e0224d797"
+#  - 2026-08-16 r2: idx_sequence container switched to zlib-9 over the u8
+#    view (beats bz2 32/32 frames, ~5% smaller, 5x faster): rans bpp 2.8078.
+#  - 2026-08-16 r2: host projection angles/depth now use the deterministic
+#    f64 kernels shared bit-for-bit by the numpy fallback and the fused
+#    native C++ kernel (projection.py::_atan2_det): rans bpp 2.8090,
+#    bzip2 bpp 3.0952.
+GOLDEN_BPP = 2.8090
+GOLDEN_SHA = "2782e9e68a0fd10f15c6f02782498a7eb9373e41b16a7e4ba9b0e920602966c7"
+GOLDEN_BZIP2_BPP = 3.0952
+GOLDEN_BZIP2_SHA = "146cd8ff37c8d94e2bb988fb3ca5c14689423a6ff59d5b9c2a7645aa4b4142d3"
 
 
 def test_kitti_example_operating_point(codec_and_frame):

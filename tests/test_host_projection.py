@@ -57,6 +57,50 @@ def test_host_raster_tie_first_point_wins():
     assert ri[7] == np.float32(5.0) and ri[9] == np.float32(4.0)
 
 
+def test_fused_native_projection_bit_identical_to_numpy(monkeypatch):
+    """The fused C++ kernel and the numpy fallback must agree on every BIT:
+    both evaluate the same deterministic atan2/sqrt sequence (see
+    projection.py::_ATAN_COEFFS)."""
+    import rpcc_tpu.codec.lz4block as lz4block
+
+    if lz4block.native_lib() is None or not hasattr(
+        lz4block.native_lib(), "project_bin_raster"
+    ):
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(11)
+    scenes = [synth_scene(seed=s) for s in range(3)]
+    # adversarial: random directions incl. negative x/y, near-axis points
+    scenes.append(
+        np.stack(
+            [rng.uniform(-60, 60, 20000), rng.uniform(-60, 60, 20000),
+             rng.uniform(-5, 25, 20000)], -1
+        ).astype(np.float32)
+    )
+    # (N, 4) layout (KITTI .bin has intensity): exercises the stride path
+    extra = np.concatenate(
+        [scenes[0], np.zeros((scenes[0].shape[0], 1), np.float32)], -1
+    )
+    scenes.append(extra)
+
+    uneven = LidarConfig(
+        name="csvish",
+        horizontal_fov_deg=360.0,
+        vertical_angle_max_deg=3.0,
+        vertical_angle_min_deg=-25.0,
+        height=16,
+        width=400,
+        vertical_angles_deg=tuple(np.linspace(-25.0, 3.0, 16)[::-1]),
+    )
+    for lidar in (SMALL, uneven):
+        for pc in scenes:
+            native = project_points_host(pc, lidar)
+            monkeypatch.setattr(lz4block, "native_lib", lambda: None)
+            fallback = project_points_host(pc, lidar)
+            monkeypatch.undo()
+            np.testing.assert_array_equal(native, fallback)
+
+
 def test_host_vs_device_projection_agrees_mod_ulps():
     pc = synth_scene(seed=3)
     dev = np.asarray(jax.jit(lambda p: project_points(p, SMALL, None))(pc))
