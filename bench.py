@@ -40,24 +40,22 @@ def emit(obj) -> None:
     print(json.dumps(obj), flush=True)
 
 
-def _stack(pc: np.ndarray, batch: int, lidar) -> np.ndarray:
-    """(B, H, W) range-image batch (the device graph's from_ri input)."""
-    from rpcc_tpu.ops.projection import project_points_host
-
-    return project_points_host(pc, lidar)[None].repeat(batch, axis=0)
-
-
-def device_fps(engine, pts, seeds, step, n_chips: int, reps: int = 6) -> float:
+def device_fps(engine, pts, seeds, step, n_chips: int, reps: int = 6, deltas=None) -> float:
     """Sustained device throughput: queue all reps (async dispatch overlaps
     the per-call host/tunnel latency, exactly like the production pipeline)
     and block once at the end."""
     import jax
 
-    jax.block_until_ready(engine._encode_b(pts, seeds, step))
+    def call():
+        if deltas is not None:
+            return engine._encode_b(pts, seeds, step, deltas)
+        return engine._encode_b(pts, seeds, step)
+
+    jax.block_until_ready(call())
     t0 = time.perf_counter()
     out = None
     for _ in range(reps):
-        out = engine._encode_b(pts, seeds, step)
+        out = call()
     jax.block_until_ready(out)
     return reps * pts.shape[0] / (time.perf_counter() - t0) / n_chips
 
@@ -73,11 +71,16 @@ def bench_config(name, lidar, cfg, pc, n_chips, e2e=False, extra=None):
     results = engine.encode_frames(clouds, seeds=range(BATCH))  # warm-up
     blob0 = results[0][0]
 
-    pts = jax.device_put(_stack(pc, BATCH, lidar))
+    pts_np, deltas_np, _ = engine._stack(clouds)
+    pts = jax.device_put(pts_np)
+    deltas = None if deltas_np is None else jax.device_put(deltas_np)
     seeds = jax.device_put(np.arange(BATCH, dtype=np.uint32))
-    dev_fps = device_fps(engine, pts, seeds, engine._step_arg, n_chips)
+    dev_fps = device_fps(engine, pts, seeds, engine._step_arg, n_chips, deltas=deltas)
 
-    out = jax.block_until_ready(engine._encode_b(pts, seeds, engine._step_arg))
+    if deltas is not None:
+        out = jax.block_until_ready(engine._encode_b(pts, seeds, engine._step_arg, deltas))
+    else:
+        out = jax.block_until_ready(engine._encode_b(pts, seeds, engine._step_arg))
     ri = np.asarray(out.range_image[0])
     n_pts = max(int((ri > 0).sum()), 1)
     bpp = len(blob0) * 8 / n_pts
@@ -197,6 +200,16 @@ def main() -> None:
             "chips": n_chips,
         }
     )
+
+    # ---- config 1b: u16 transfer precision (half the upload bytes; the
+    # per-frame snap adds <= delta/2 = accuracy/16 reconstruction error vs
+    # the raw cloud — max_depth_err below is vs the snapped range image)
+    line, _, _, _ = bench_config(
+        "kitti64e_e2e_encode_u16_transfer_acc0.02_" + cfg1.basic_compressor,
+        lidar64, CodecConfig(transfer_precision="u16"), pc, n_chips, e2e=True,
+        extra={"transfer": "u16"},
+    )
+    emit(line)
 
     # ---- config 2: plane modeling
     line, _, _, _ = bench_config(

@@ -125,6 +125,14 @@ class CodecConfig:
     # unseeded (o3d RANSAC) and therefore nondeterministic run-to-run
     # (SURVEY.md §5 pitfall 7); we are deterministic by construction.
     seed: int = 0
+    # Host->device transfer precision of the range image in the batch
+    # engine.  'f32' uploads exact depths (reconstruction error <= accuracy,
+    # bit-for-bit the single-frame path).  'u16' pre-snaps depths to a
+    # per-frame grid delta = max(step/16, depth_max/65535) and uploads u16 —
+    # half the upload bytes (the dominant wire cost on tunneled hosts) at
+    # the price of <= delta/2 extra reconstruction error (3.1% of the
+    # accuracy bound for typical frames).
+    transfer_precision: str = "f32"  # 'f32' | 'u16'
 
     @property
     def uniform(self) -> bool:

@@ -75,7 +75,12 @@ class EncoderOutput(NamedTuple):
 EXC_CAP = 256
 
 
-def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig, from_ri: bool = False):
+def build_encode_fn(
+    lidar: LidarConfig,
+    cfg: CodecConfig,
+    from_ri: bool = False,
+    ri_u16: bool = False,
+):
     """Build the raw (traceable) single-frame encode function.
 
     ``encode(points (N,3) f32, seed u32, step) -> EncoderOutput`` — pure, so
@@ -90,6 +95,12 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig, from_ri: bool = False)
     (``ops.projection.project_points_host``, mirroring the reference's host
     C++ projection) and upload 3x fewer bytes; the in-graph projection stays
     for pure-device use.
+
+    With ``ri_u16=True`` (implies from_ri) the signature becomes
+    ``encode(ri_u16 (H, W) u16, seed, step, delta ())``: the host pre-snaps
+    depths to a per-frame ``delta`` grid and the device rescales
+    ``ri = ri_u16 * delta`` — half the upload bytes for <= delta/2 extra
+    reconstruction error (cfg.transfer_precision).
     """
     tm_planes = jnp.asarray(build_transform_planes(lidar))  # (3, H, W) planar
     H, W = lidar.height, lidar.width
@@ -104,11 +115,18 @@ def build_encode_fn(lidar: LidarConfig, cfg: CodecConfig, from_ri: bool = False)
         )
     )
 
-    def encode(points: jnp.ndarray, seed: jnp.ndarray, step: jnp.ndarray) -> EncoderOutput:
+    def encode(
+        points: jnp.ndarray,
+        seed: jnp.ndarray,
+        step: jnp.ndarray,
+        delta: Optional[jnp.ndarray] = None,
+    ) -> EncoderOutput:
         key = jax.random.PRNGKey(seed)
         k_seg, k_model = jax.random.split(key)
 
-        if from_ri:
+        if ri_u16:
+            ri = points.astype(jnp.float32) * delta  # (H, W), host-snapped
+        elif from_ri:
             ri = points  # (H, W) f32, projected on host
         else:
             ri = project_points(points, lidar, v_angles)  # (H, W)
@@ -226,24 +244,39 @@ def make_encoder(lidar: LidarConfig, cfg: CodecConfig, from_ri: bool = False):
     return jax.jit(build_encode_fn(lidar, cfg, from_ri=from_ri))
 
 
-def make_batch_encoder(lidar: LidarConfig, cfg: CodecConfig, mesh=None, from_ri: bool = False):
+def make_batch_encoder(
+    lidar: LidarConfig,
+    cfg: CodecConfig,
+    mesh=None,
+    from_ri: bool = False,
+    ri_u16: bool = False,
+):
     """Jitted batched encoder over (B, N, 3) points (or (B, H, W) range
-    images with ``from_ri=True``) and (B,) seeds.
+    images with ``from_ri=True``; (B, H, W) u16 plus a (B,) delta with
+    ``ri_u16=True``) and (B,) seeds.
 
     With a ``mesh`` (1-D, axis 'data'), inputs/outputs are sharded over the
     batch dimension — frame-level data parallelism across chips, the TPU
     equivalent of the reference's ThreadPoolExecutor over frames
     (tools/compress_datalist.py:202-206).
     """
-    fn = jax.vmap(build_encode_fn(lidar, cfg, from_ri=from_ri), in_axes=(0, 0, None))
+    in_axes = (0, 0, None, 0) if ri_u16 else (0, 0, None)
+    fn = jax.vmap(
+        build_encode_fn(lidar, cfg, from_ri=from_ri, ri_u16=ri_u16), in_axes=in_axes
+    )
     if mesh is None:
         return jax.jit(fn)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     batch_sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
+    in_shardings = (
+        (batch_sharding, batch_sharding, replicated, batch_sharding)
+        if ri_u16
+        else (batch_sharding, batch_sharding, replicated)
+    )
     return jax.jit(
         fn,
-        in_shardings=(batch_sharding, batch_sharding, replicated),
+        in_shardings=in_shardings,
         out_shardings=batch_sharding,
     )

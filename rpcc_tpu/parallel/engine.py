@@ -76,10 +76,14 @@ class BatchEngine:
         self.H, self.W = lidar.height, lidar.width
         self.hw = self.H * self.W
         # Production encode is from_ri: frames are projected on the host
-        # (numpy binning + native C++ scatter-min, ~4 ms/frame/core) and the
-        # (B, H, W) range image is uploaded — 3x fewer bytes than raw clouds
-        # and no device compaction sorts.
-        self._encode_b = make_batch_encoder(lidar, cfg, mesh, from_ri=True)
+        # (fused native C++ bin+raster, ~2 ms/frame/core) and the (B, H, W)
+        # range image is uploaded — 3x fewer bytes than raw clouds and no
+        # device compaction sorts.  transfer_precision='u16' halves the
+        # upload again (per-frame grid snap, <= delta/2 extra error).
+        self._u16 = cfg.transfer_precision == "u16"
+        self._encode_b = make_batch_encoder(
+            lidar, cfg, mesh, from_ri=True, ri_u16=self._u16
+        )
         self._decode_b = make_batch_decoder(lidar, cfg, mesh)
         self.entropy = BasicCompressor(
             method_name=cfg.basic_compressor, contour_shape=(self.H, self.W)
@@ -96,17 +100,43 @@ class BatchEngine:
         return np.asarray(self.cfg.level_acc, dtype=np.float32)
 
     # ---------------------------------------------------------------- encode
-    def _stack(self, clouds: Sequence[np.ndarray]) -> Tuple[np.ndarray, int]:
-        """Host-project each frame (thread pool) and stack (B, H, W) images."""
+    def _stack(self, clouds: Sequence[np.ndarray]):
+        """Host-project each frame (thread pool) and stack (B, H, W) images.
+
+        Returns ``(images, deltas, live)``; deltas is None in f32 mode, the
+        (B,) per-frame snap grid in u16 mode (delta_i = max(step/16,
+        depth_max_i / 65535) — never saturates, error <= delta/2).
+        """
         from rpcc_tpu.ops.projection import project_points_host
 
-        out = np.zeros((self.batch_size, self.H, self.W), np.float32)
+        if not self._u16:
+            out = np.zeros((self.batch_size, self.H, self.W), np.float32)
 
-        def one(i: int) -> None:
-            out[i] = project_points_host(np.asarray(clouds[i], np.float32)[:, :3], self.lidar)
+            def one(i: int) -> None:
+                out[i] = project_points_host(
+                    np.asarray(clouds[i], np.float32)[:, :3], self.lidar
+                )
 
-        list(self._pool.map(one, range(len(clouds))))
-        return out, len(clouds)
+            list(self._pool.map(one, range(len(clouds))))
+            return out, None, len(clouds)
+
+        out = np.zeros((self.batch_size, self.H, self.W), np.uint16)
+        deltas = np.full((self.batch_size,), np.float32(1.0), np.float32)
+        floor = np.float32(self.cfg.step / 16.0)
+
+        def one16(i: int) -> None:
+            ri = project_points_host(
+                np.asarray(clouds[i], np.float32)[:, :3], self.lidar
+            )
+            d = np.float32(max(floor, float(ri.max()) / 65535.0))
+            deltas[i] = d
+            q = np.rint(ri * (np.float32(1.0) / d))
+            # f32 rounding of d can push max/d a hair past 65535 -> clamp
+            # (never truncates real depth: d >= depth_max/65535 by choice).
+            out[i] = np.minimum(q, np.float32(65535.0)).astype(np.uint16)
+
+        list(self._pool.map(one16, range(len(clouds))))
+        return out, deltas, len(clouds)
 
     def encode_batch_device(self, clouds: Sequence[np.ndarray], seeds: Optional[Sequence[int]] = None):
         """Dispatch one device batch (async); returns (EncoderOutput, live_count).
@@ -115,13 +145,16 @@ class BatchEngine:
         here blocks on the device.
         """
         assert len(clouds) <= self.batch_size
-        pts, live = self._stack(clouds)
+        pts, deltas, live = self._stack(clouds)
         if seeds is None:
             seeds = [self.cfg.seed] * self.batch_size
         seeds = np.asarray(
             list(seeds) + [self.cfg.seed] * (self.batch_size - len(seeds)), np.uint32
         )
-        out = self._encode_b(pts, seeds, self._step_arg)
+        if self._u16:
+            out = self._encode_b(pts, seeds, self._step_arg, deltas)
+        else:
+            out = self._encode_b(pts, seeds, self._step_arg)
         _copy_async(out.stream_len, out.seq_len, out.contour_packed,
                     out.model_param, out.salience,
                     out.exc_pos, out.exc_val, out.exc_count)

@@ -26,6 +26,43 @@ def test_engine_sharded_roundtrip_over_mesh():
         rec_ri = np.linalg.norm(decoded[i], axis=-1)
         assert np.abs(rec_ri - ri[i]).max() <= cfg.step + 1e-5
 
+    # u16 transfer mode must also compile/run over the mesh (sharded (B,)
+    # delta input alongside the (B, H, W) u16 batch).
+    e16 = BatchEngine(
+        SMALL, CodecConfig(cluster_num=16, transfer_precision="u16"),
+        batch_size=8, mesh=mesh, workers=2,
+    )
+    res16 = e16.encode_frames(clouds, seeds=range(8))
+    assert len(res16) == 8 and all(len(b) > 0 for b, _ in res16)
+
+
+def test_engine_u16_transfer_mode_bounds_and_roundtrip():
+    """transfer_precision='u16' halves upload bytes; reconstruction error
+    must stay within accuracy + delta/2 of the TRUE (f32) range image, and
+    the pipeline/decode paths must work unchanged."""
+    cfg16 = CodecConfig(cluster_num=16, transfer_precision="u16")
+    cfg32 = CodecConfig(cluster_num=16)
+    e16 = BatchEngine(SMALL, cfg16, batch_size=4, workers=2)
+    e32 = BatchEngine(SMALL, cfg32, batch_size=4, workers=2)
+    clouds = [synth_scene(seed=s) for s in range(4)]
+
+    out16, live = e16.encode_batch_device(clouds, seeds=range(4))
+    pts, deltas, _ = e16._stack(clouds)
+    assert pts.dtype == np.uint16 and deltas.shape == (4,)
+    # never saturates; snap grid within spec
+    assert (pts[:live] < 65536).all()
+    floor = np.float32(cfg16.step / 16.0)
+    assert (deltas[:live] >= floor - 1e-9).all()
+
+    results = e16.encode_frames(clouds, seeds=range(4))
+    decoded = e16.decode_blobs([b for b, _ in results])
+    ri_true = np.asarray(e32.encode_batch_device(clouds, seeds=range(4))[0].range_image)
+    for i in range(4):
+        rec_ri = np.linalg.norm(decoded[i], axis=-1)
+        bound = cfg16.accuracy + float(deltas[i]) / 2 + 1e-5
+        both = ri_true[i] > 0
+        assert np.abs(rec_ri[both] - ri_true[i][both]).max() <= bound
+
 
 def test_engine_i8_transfer_exceptions_and_fallback():
     """The i8 transfer view of the residual stream must reconstruct the i16
