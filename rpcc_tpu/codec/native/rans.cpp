@@ -14,8 +14,10 @@
 //      depends on lane l-1 step t-1, so lane-major decode order is causal;
 //   2: always context 0 (order-0 containers).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -26,6 +28,61 @@ constexpr uint32_t RANS_L = 1u << 16;
 inline int zigzag_ctx(int32_t prev) {
     int32_t mag = (prev + 1) >> 1;
     return (mag >= 1) + (mag >= 3) + (mag >= 8);
+}
+
+// Bit-exact twin of rans_native.py::normalize_freqs (f32 arithmetic order
+// preserved; np.argmax keeps the FIRST maximum).
+inline void normalize_freqs_row(const int64_t* cnt, int A, int32_t* f) {
+    int64_t total64 = 0;
+    for (int a = 0; a < A; a++) total64 += cnt[a];
+    if (total64 < 1) total64 = 1;
+    float scale = (float)M / (float)total64;
+    int32_t sum = 0;
+    for (int a = 0; a < A; a++) {
+        int32_t v = (int32_t)floorf((float)cnt[a] * scale);
+        if (cnt[a] > 0 && v == 0) v = 1;
+        f[a] = v;
+        sum += v;
+    }
+    int32_t delta = (int32_t)M - sum;
+    int top = 0;
+    for (int a = 1; a < A; a++)
+        if (f[a] > f[top]) top = a;
+    f[top] += delta;
+}
+
+// Per-lane rANS encode (walks t descending), then compact the per-lane word
+// runs front-to-back into `packed` (same order the python fancy-index pack
+// produced: lane-major, within a lane in emission order).
+inline void encode_lanes(const int32_t* sym, const int32_t* ctx, int L, int T,
+                         const int32_t* freqs, const uint32_t* cums, int A,
+                         uint16_t* words, int32_t* counts, uint32_t* states,
+                         uint16_t* packed, int32_t* n_words_out) {
+    for (int l = 0; l < L; l++) {
+        const int32_t* s = sym + (size_t)l * T;
+        const int32_t* cx = ctx + (size_t)l * T;
+        uint16_t* w = words + (size_t)l * T;
+        uint32_t x = RANS_L;
+        int32_t cnt = 0;
+        for (int t = T - 1; t >= 0; t--) {
+            uint32_t f = (uint32_t)freqs[(size_t)cx[t] * A + s[t]];
+            uint32_t c = cums[(size_t)cx[t] * A + s[t]];
+            if ((x >> 18) >= f) {
+                w[cnt++] = (uint16_t)(x & 0xFFFFu);
+                x >>= 16;
+            }
+            x = (x / f) * M + c + (x % f);
+        }
+        counts[l] = cnt;
+        states[l] = x;
+    }
+    int32_t total = 0;
+    for (int l = 0; l < L; l++) {
+        std::memcpy(packed + total, words + (size_t)l * T,
+                    (size_t)counts[l] * sizeof(uint16_t));
+        total += counts[l];
+    }
+    *n_words_out = total;
 }
 
 }  // namespace
@@ -114,6 +171,148 @@ void rans_decode_ctx_batch(const uint16_t* words, const int32_t* counts,
                 prev = s;
             }
         }
+    }
+}
+
+// Fully-fused residual-stream encode: raw integer arrays in, container
+// pieces out.  Replaces the numpy pre-pass (zigzag delta, escape fold,
+// context ids, joint histogram, normalization, word packing) that dominated
+// the batch entropy cost on the 1-core host.
+//
+// q_ptrs[b] points at lens[b] elements of dtype dtypes[b] (0=i16, 1=u16,
+// 2=i32).  Symbols are the zigzag of the first-difference with zz >=
+// ESCAPE(A-1) folded to the escape symbol; the padded (L, T) stream is
+// zero-tailed and the histogram runs over the FULL padded stream (both
+// exactly as the numpy path).  esc_counts[b] = -1 signals escape-capacity
+// overflow (caller falls back to the numpy path for that frame).
+void rans_delta_encode_frames(
+    const uint64_t* q_ptrs, const uint8_t* dtypes, const int64_t* lens,
+    int B, int L, int T, int C, int A, int esc_cap,
+    uint16_t* packed,      // (B, L*T) compacted words
+    int32_t* n_words_out,  // (B,)
+    int32_t* counts,       // (B, L)
+    uint32_t* states,      // (B, L)
+    int32_t* freqs_out,    // (B, C, A) normalized
+    uint32_t* escapes,     // (B, esc_cap)
+    int32_t* esc_counts,   // (B,)
+    int64_t* q0s) {        // (B,)
+    const int64_t LT = (int64_t)L * T;
+    const int32_t ESC = A - 1;
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int b = 0; b < B; b++) {
+        std::vector<int32_t> sym((size_t)LT, 0);
+        std::vector<int32_t> ctx((size_t)LT, 0);
+        std::vector<uint16_t> words((size_t)LT);
+        const int64_t n = lens[b];
+        uint32_t* esc = escapes + (size_t)b * esc_cap;
+        int32_t n_esc = 0;
+        int64_t prev_q = 0;
+        bool overflow = false;
+        for (int64_t j = 0; j < n; j++) {
+            int64_t qj;
+            const void* p = (const void*)(uintptr_t)q_ptrs[b];
+            if (dtypes[b] == 0) qj = ((const int16_t*)p)[j];
+            else if (dtypes[b] == 1) qj = ((const uint16_t*)p)[j];
+            else qj = ((const int32_t*)p)[j];
+            int64_t d = (j == 0) ? 0 : qj - prev_q;
+            prev_q = qj;
+            int64_t zz = (d >= 0) ? 2 * d : -2 * d - 1;
+            if (zz >= ESC) {
+                if (n_esc < esc_cap) esc[n_esc] = (uint32_t)zz;
+                else overflow = true;
+                n_esc++;
+                sym[j] = ESC;
+            } else {
+                sym[j] = (int32_t)zz;
+            }
+            if (j == 0) q0s[b] = qj;
+        }
+        if (n == 0) q0s[b] = 0;
+        if (overflow) {
+            esc_counts[b] = -1;
+            n_words_out[b] = 0;
+            continue;
+        }
+        esc_counts[b] = n_esc;
+        // Context ids + joint histogram over the full padded stream.
+        std::vector<int64_t> hist((size_t)C * A, 0);
+        for (int l = 0; l < L; l++) {
+            int32_t prev = 0;
+            const int64_t off = (int64_t)l * T;
+            for (int t = 0; t < T; t++) {
+                int cid = (t == 0) ? 0 : zigzag_ctx(prev);
+                int32_t s = sym[off + t];
+                ctx[off + t] = cid;
+                hist[(size_t)cid * A + s]++;
+                prev = s;
+            }
+        }
+        int32_t* fq = freqs_out + (size_t)b * C * A;
+        std::vector<uint32_t> cums((size_t)C * A);
+        for (int c = 0; c < C; c++) {
+            normalize_freqs_row(hist.data() + (size_t)c * A, A, fq + (size_t)c * A);
+            uint32_t acc = 0;
+            for (int a = 0; a < A; a++) {
+                cums[(size_t)c * A + a] = acc;
+                acc += (uint32_t)fq[(size_t)c * A + a];
+            }
+        }
+        encode_lanes(sym.data(), ctx.data(), L, T, fq, cums.data(), A,
+                     words.data(), counts + (size_t)b * L,
+                     states + (size_t)b * L, packed + (size_t)b * LT,
+                     n_words_out + b);
+    }
+}
+
+// Fully-fused contour bit-plane encode: packed (MSB-first) bit rows in,
+// container pieces out.  Lane r is image row r delayed r steps (diagonal
+// wavefront), ctx = 2*above + left, alphabet {0,1}, 4 contexts — exactly
+// rans_codec._compress_bits_batch's layout.
+void rans_contour_encode_frames(
+    const uint8_t* packed_bits,  // (B, nbytes) np.packbits rows
+    int B, int64_t nbytes, int H, int W, int T,
+    uint16_t* packed,      // (B, H*T) compacted words
+    int32_t* n_words_out,  // (B,)
+    int32_t* counts,       // (B, H)
+    uint32_t* states,      // (B, H)
+    int32_t* freqs_out) {  // (B, 4, 2) normalized
+    const int64_t HT = (int64_t)H * T;
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int b = 0; b < B; b++) {
+        const uint8_t* pb = packed_bits + (size_t)b * nbytes;
+        std::vector<int32_t> sym((size_t)HT, 0);
+        std::vector<int32_t> ctx((size_t)HT, 0);
+        std::vector<uint16_t> words((size_t)HT);
+        int64_t hist[4 * 2] = {0};
+        for (int r = 0; r < H; r++) {
+            const int64_t off = (int64_t)r * T;
+            const int64_t aoff = off - T;  // lane above
+            int32_t left = 0;
+            for (int t = 0; t < T; t++) {
+                int64_t c = (int64_t)t - r;
+                int32_t s = 0;
+                if (c >= 0 && c < W) {
+                    int64_t i = (int64_t)r * W + c;
+                    s = (pb[i >> 3] >> (7 - (i & 7))) & 1;
+                }
+                int32_t above = (r > 0 && t > 0) ? sym[aoff + t - 1] : 0;
+                int cid = (t == 0) ? 0 : 2 * above + left;
+                sym[off + t] = s;
+                ctx[off + t] = cid;
+                hist[cid * 2 + s]++;
+                left = s;
+            }
+        }
+        int32_t* fq = freqs_out + (size_t)b * 8;
+        uint32_t cums[8];
+        for (int c = 0; c < 4; c++) {
+            normalize_freqs_row(hist + c * 2, 2, fq + c * 2);
+            cums[c * 2] = 0;
+            cums[c * 2 + 1] = (uint32_t)fq[c * 2];
+        }
+        encode_lanes(sym.data(), ctx.data(), H, T, fq, cums, 2, words.data(),
+                     counts + (size_t)b * H, states + (size_t)b * H,
+                     packed + (size_t)b * HT, n_words_out + b);
     }
 }
 

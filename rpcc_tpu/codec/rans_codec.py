@@ -232,6 +232,23 @@ def _compress_bits_batch(packed_list: Sequence[np.ndarray], H: int, W: int) -> L
     and the lane above's previous symbol is the neighbor ABOVE — a 4-context
     (above, left) binary model the decoder reproduces from its scan carry."""
     B = len(packed_list)
+    nat = _native()
+    if nat is not None and nat.fused_available():
+        T = -(-(W + H - 1) // T_BUCKET) * T_BUCKET
+        pb = np.stack([np.asarray(p, np.uint8) for p in packed_list])
+        packed, n_words, counts, states, freqs = nat.contour_encode_frames(pb, H, W, T)
+        return [
+            b"".join(
+                [
+                    struct.pack("<BHHH", MAGIC_BITS, T, H, W),
+                    freqs[i].astype("<u2").tobytes(),
+                    states[i].astype("<u4").tobytes(),
+                    counts[i].astype("<u2").tobytes(),
+                    packed[i, : n_words[i]].astype("<u2").tobytes(),
+                ]
+            )
+            for i in range(B)
+        ]
     bits = np.unpackbits(np.stack(packed_list).reshape(B, -1), axis=1)[:, : H * W]
     bits = bits.reshape(B, H, W)
     T = -(-(W + H - 1) // T_BUCKET) * T_BUCKET
@@ -401,12 +418,67 @@ def _symbolize(arr: np.ndarray):
 
 
 def compress_delta_batch(arrays: Sequence[np.ndarray], lanes: int | None = None) -> List[bytes]:
-    """Entropy-code a batch of integer streams in ONE device rANS call.
+    """Entropy-code a batch of integer streams.
 
     Context-modeled ('C' container): each symbol is coded under one of
     NUM_CTX models selected by the previous delta's magnitude bucket
     (measured on KITTI: 2.36 -> 2.16 bits/symbol vs order-0).
+
+    Large frames take the fully-fused native path (zigzag + contexts +
+    histogram + normalize + encode + word packing in one C++ call —
+    byte-identical containers, ~10x less host time than the numpy
+    pre-pass); small frames keep the numpy path, which also runs the
+    bzip2-over-delta adaptive comparison.
     """
+    nat = _native()
+    if nat is None or not nat.fused_available() or _ADAPTIVE_FULL:
+        return _compress_delta_batch_np(arrays, lanes)
+    B = len(arrays)
+    out: List[bytes] = [b""] * B
+    big_ix = [
+        i for i, a in enumerate(arrays) if np.asarray(a).size > BZD_TRY_MAX_SYMBOLS
+    ]
+    small_ix = [i for i in range(B) if i not in set(big_ix)]
+    if small_ix:
+        for i, blob in zip(
+            small_ix, _compress_delta_batch_np([arrays[i] for i in small_ix], lanes)
+        ):
+            out[i] = blob
+    if big_ix:
+        subs = [np.ascontiguousarray(arrays[i]) for i in big_ix]
+        n_max = max(a.size for a in subs)
+        L = lanes if lanes is not None else _lanes_for(n_max)
+        T = max(1, -(-n_max // L))
+        T = -(-T // T_BUCKET) * T_BUCKET
+        packed, n_words, counts, states, freqs, escapes, esc_counts, q0s = (
+            nat.delta_encode_frames(subs, L, T, ALPHABET, _r.NUM_CTX)
+        )
+        for k, i in enumerate(big_ix):
+            if esc_counts[k] < 0:  # escape-capacity overflow: numpy fallback
+                out[i] = _compress_delta_batch_np([arrays[i]], lanes)[0]
+                continue
+            parts = [
+                struct.pack(
+                    "<BBHIi", MAGIC_CTX, L.bit_length() - 1, T, subs[k].size,
+                    int(q0s[k]),
+                ),
+                struct.pack("<I", int(esc_counts[k])),
+                escapes[k, : esc_counts[k]].astype("<u4").tobytes(),
+            ]
+            for c in range(_r.NUM_CTX):
+                parts.append(_pack_table(freqs[k, c].astype(np.int64)))
+            parts += [
+                states[k].astype("<u4").tobytes(),
+                counts[k].astype("<u2").tobytes(),
+                packed[k, : n_words[k]].astype("<u2").tobytes(),
+                struct.pack("<B", _dtype_code(subs[k].dtype)),
+            ]
+            out[i] = b"".join(parts)
+    return out
+
+
+def _compress_delta_batch_np(arrays: Sequence[np.ndarray], lanes: int | None = None) -> List[bytes]:
+    """numpy/jax-kernel implementation (also runs the bzd comparison)."""
     B = len(arrays)
     per = [_symbolize(np.asarray(a)) for a in arrays]
     n_max = max((p[3] for p in per), default=0)

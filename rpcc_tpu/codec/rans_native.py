@@ -42,6 +42,15 @@ def _lib():
         lib.rans_encode_ctx_batch.argtypes = [ct.c_void_p] * 4 + [ct.c_int] * 5 + [ct.c_void_p] * 3
         lib.rans_decode_ctx_batch.restype = None
         lib.rans_decode_ctx_batch.argtypes = [ct.c_void_p] * 6 + [ct.c_int] * 6 + [ct.c_void_p]
+        if hasattr(lib, "rans_delta_encode_frames"):
+            lib.rans_delta_encode_frames.restype = None
+            lib.rans_delta_encode_frames.argtypes = (
+                [ct.c_void_p] * 3 + [ct.c_int] * 6 + [ct.c_void_p] * 8
+            )
+            lib.rans_contour_encode_frames.restype = None
+            lib.rans_contour_encode_frames.argtypes = (
+                [ct.c_void_p, ct.c_int, ct.c_int64] + [ct.c_int] * 3 + [ct.c_void_p] * 5
+            )
         _sigs_registered = True
     return lib
 
@@ -116,6 +125,67 @@ def encode_ctx_batch(
         words.ctypes.data, counts.ctypes.data, states.ctypes.data,
     )
     return words, counts, states, freqs
+
+
+def fused_available() -> bool:
+    lib = _lib()
+    return lib is not None and hasattr(lib, "rans_delta_encode_frames")
+
+
+def delta_encode_frames(arrays, L: int, T: int, alphabet: int, num_ctx: int,
+                        esc_cap: int = 8192):
+    """Fully-fused residual encode: raw integer arrays -> container pieces.
+
+    -> (packed (B, L*T) u16, n_words (B,), counts (B, L), states (B, L) u32,
+    freqs (B, C, A) i32, escapes (B, esc_cap) u32, esc_counts (B,), q0s (B,)).
+    esc_counts[i] == -1 flags escape overflow: caller must re-encode frame i
+    via the numpy path.  Bit-identical containers otherwise.
+    """
+    import ctypes as ct
+
+    lib = _lib()
+    B = len(arrays)
+    dt_map = {np.dtype(np.int16): 0, np.dtype(np.uint16): 1, np.dtype(np.int32): 2}
+    arrays = [np.ascontiguousarray(a) for a in arrays]
+    q_ptrs = np.asarray([a.ctypes.data for a in arrays], np.uint64)
+    dtypes = np.asarray([dt_map[a.dtype] for a in arrays], np.uint8)
+    lens = np.asarray([a.size for a in arrays], np.int64)
+    packed = np.zeros((B, L * T), np.uint16)
+    n_words = np.zeros(B, np.int32)
+    counts = np.zeros((B, L), np.int32)
+    states = np.zeros((B, L), np.uint32)
+    freqs = np.zeros((B, num_ctx, alphabet), np.int32)
+    escapes = np.zeros((B, esc_cap), np.uint32)
+    esc_counts = np.zeros(B, np.int32)
+    q0s = np.zeros(B, np.int64)
+    lib.rans_delta_encode_frames(
+        q_ptrs.ctypes.data, dtypes.ctypes.data, lens.ctypes.data,
+        B, L, T, num_ctx, alphabet, esc_cap,
+        packed.ctypes.data, n_words.ctypes.data, counts.ctypes.data,
+        states.ctypes.data, freqs.ctypes.data, escapes.ctypes.data,
+        esc_counts.ctypes.data, q0s.ctypes.data,
+    )
+    return packed, n_words, counts, states, freqs, escapes, esc_counts, q0s
+
+
+def contour_encode_frames(packed_bits: np.ndarray, H: int, W: int, T: int):
+    """Fully-fused contour encode: (B, nbytes) packbits rows -> container
+    pieces (packed (B, H*T) u16, n_words (B,), counts (B, H),
+    states (B, H) u32, freqs (B, 4, 2) i32)."""
+    lib = _lib()
+    packed_bits = np.ascontiguousarray(packed_bits, np.uint8)
+    B, nbytes = packed_bits.shape
+    packed = np.zeros((B, H * T), np.uint16)
+    n_words = np.zeros(B, np.int32)
+    counts = np.zeros((B, H), np.int32)
+    states = np.zeros((B, H), np.uint32)
+    freqs = np.zeros((B, 4, 2), np.int32)
+    lib.rans_contour_encode_frames(
+        packed_bits.ctypes.data, B, nbytes, H, W, T,
+        packed.ctypes.data, n_words.ctypes.data, counts.ctypes.data,
+        states.ctypes.data, freqs.ctypes.data,
+    )
+    return packed, n_words, counts, states, freqs
 
 
 def decode_ctx_batch(

@@ -92,6 +92,12 @@ class BatchEngine:
         # Dedicated uploader: stacking + host->device transfer is mostly IO
         # wait, so it overlaps the entropy stage even on a 1-core host.
         self._uploader = futures.ThreadPoolExecutor(1)
+        # Dedicated downloader: stage_downloads blocks on the device finishing
+        # a batch, then queues the big async copies — on its own thread those
+        # copies stream over the wire WHILE the main thread entropy-codes the
+        # previous batch (measured: queueing them on the main thread after
+        # finish_staged serializes ~150 ms/batch of download wait).
+        self._downloader = futures.ThreadPoolExecutor(1)
 
     @property
     def _step_arg(self) -> np.ndarray:
@@ -259,27 +265,34 @@ class BatchEngine:
         return self._uploader.submit(self.encode_batch_device, clouds, seeds)
 
     def encode_pipeline(self, batches):
-        """3-deep pipelined encode over an iterable of (clouds, seeds).
+        """3-deep, 3-thread pipelined encode over an iterable of (clouds,
+        seeds).
 
-        Yields one result list per input batch, in order.  While batch k
-        uploads (uploader thread), batch k-1's prefix downloads stream back
-        and batch k-2 runs host entropy — on this rig the wall clock per
-        batch approaches the pure upload time.
+        Yields one result list per input batch, in order.  Stage threads:
+        uploader (stack + dispatch batch k), downloader (wait for k-1 on
+        device, queue its async prefix copies), main (entropy-code k-2 while
+        k-1's copies stream and k uploads).
         """
         from collections import deque
 
         dispatched: deque = deque()  # futures -> (out, live)
-        staged: deque = deque()  # _Staged
+        staged: deque = deque()  # futures -> _Staged
         for clouds, seeds in batches:
             dispatched.append(self._uploader.submit(self.encode_batch_device, clouds, seeds))
             if len(dispatched) >= 2:
-                staged.append(self.stage_downloads(*dispatched.popleft().result()))
+                fut = dispatched.popleft()
+                staged.append(
+                    self._downloader.submit(lambda f=fut: self.stage_downloads(*f.result()))
+                )
             if len(staged) >= 2:
-                yield self.finish_staged(staged.popleft())
+                yield self.finish_staged(staged.popleft().result())
         while dispatched:
-            staged.append(self.stage_downloads(*dispatched.popleft().result()))
+            fut = dispatched.popleft()
+            staged.append(
+                self._downloader.submit(lambda f=fut: self.stage_downloads(*f.result()))
+            )
         while staged:
-            yield self.finish_staged(staged.popleft())
+            yield self.finish_staged(staged.popleft().result())
 
     def encode_frames(self, clouds: Sequence[np.ndarray], seeds=None):
         """Convenience: one synchronous batch -> list of .rpcc payloads."""
