@@ -98,6 +98,16 @@ def _load():
                 ctypes.c_float, ctypes.c_float, ctypes.c_float,
                 ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
             ]
+        fn = getattr(lib, "project_bin_raster_u16", None)
+        if fn is not None:
+            fn.restype = None
+            fn.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_float, ctypes.c_float, ctypes.c_float,
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_float,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
         _lib = lib
         return _lib
 

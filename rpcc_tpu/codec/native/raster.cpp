@@ -163,3 +163,30 @@ extern "C" void project_bin_raster(const float *pts, int64_t n, int64_t stride,
     }
   }
 }
+
+// u16 transfer variant: project, then snap depths to a per-frame grid
+// delta = max(step_over16, depth_max/65535) (bit-identical to the numpy
+// fallback in parallel/engine.py::_stack — f64 max math, f32 reciprocal
+// multiply, rint half-even, 65535 clamp).  ri_scratch must hold H*W zeroed
+// floats; out gets H*W u16; *delta_out the chosen grid.
+extern "C" void project_bin_raster_u16(
+    const float *pts, int64_t n, int64_t stride, int32_t H, int32_t W,
+    int32_t even_dist, float hfov, float vmin, float vres,
+    const float *v_angles, int32_t n_chan, float step_over16,
+    float *ri_scratch, uint16_t *out, float *delta_out) {
+  project_bin_raster(pts, n, stride, H, W, even_dist, hfov, vmin, vres,
+                     v_angles, n_chan, ri_scratch);
+  const int64_t hw = (int64_t)H * W;
+  float mx = 0.0f;
+  for (int64_t i = 0; i < hw; ++i) mx = (ri_scratch[i] > mx) ? ri_scratch[i] : mx;
+  double alt = (double)mx / 65535.0;
+  double fl = (double)step_over16;
+  float d = (float)(alt > fl ? alt : fl);
+  float inv = 1.0f / d;
+  for (int64_t i = 0; i < hw; ++i) {
+    float q = rintf(ri_scratch[i] * inv);
+    q = (q > 65535.0f) ? 65535.0f : q;
+    out[i] = (uint16_t)q;
+  }
+  *delta_out = d;
+}

@@ -35,6 +35,13 @@ from rpcc_tpu.ops.stream import (
 class DecoderOutput(NamedTuple):
     range_image: jnp.ndarray  # (H, W) f32
     seg_idx: jnp.ndarray  # (H, W) i32
+    # u16 transfer view (cfg.transfer_precision='u16' only, else None):
+    # range_image snapped to a per-frame grid so the dominant decode
+    # download halves; the host rescales by delta.  Adds <= delta/2 error
+    # (delta = max(step/16, depth_max/65535)), mirroring the encode-side
+    # transfer contract.
+    range_u16: Optional[jnp.ndarray] = None  # (H, W) u16
+    delta: Optional[jnp.ndarray] = None  # () f32
 
 
 def build_decode_fn(lidar: LidarConfig, cfg: CodecConfig):
@@ -89,6 +96,11 @@ def build_decode_fn(lidar: LidarConfig, cfg: CodecConfig):
             step_s = expand_per_cluster(step[salience.astype(jnp.int32)], order, hw)
         ri_s = pred_s + stream.astype(jnp.float32) * step_s
         ri = stream_to_pixel(ri_s, order).reshape(seg.shape)
+        if cfg.transfer_precision == "u16":
+            step_max = step if cfg.uniform else jnp.max(step)
+            delta = jnp.maximum(step_max / 16.0, jnp.max(ri) / 65535.0)
+            riq = jnp.minimum(jnp.rint(ri / delta), 65535.0).astype(jnp.uint16)
+            return DecoderOutput(ri, seg, riq, delta.astype(jnp.float32))
         return DecoderOutput(ri, seg)
 
     return decode

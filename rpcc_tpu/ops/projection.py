@@ -330,3 +330,61 @@ def project_points_host(points: np.ndarray, lidar: LidarConfig) -> np.ndarray:
 
     depth, flat_idx = bin_points_host(points, lidar)
     return raster_range_image_host(depth, flat_idx, H, W)
+
+
+def project_points_host_u16(points: np.ndarray, lidar: LidarConfig, step_over16: float):
+    """u16 transfer projection: -> ((H, W) u16 snapped depths, f32 delta).
+
+    delta = max(step_over16, depth_max/65535); depths are rint(ri/delta)
+    clamped to 65535 (never truncates — delta >= depth_max/65535 by choice).
+    Fused native single pass when available; numpy fallback is bit-identical
+    (same f64 max math, f32 reciprocal multiply, rint, clamp).
+    """
+    from rpcc_tpu.codec.lz4block import native_lib
+
+    H, W = lidar.height, lidar.width
+    floor = np.float32(step_over16)
+    lib = native_lib()
+    if lib is not None and hasattr(lib, "project_bin_raster_u16"):
+        import ctypes as ct
+
+        pts = np.asarray(points, np.float32)
+        if pts.ndim != 2 or pts.shape[1] < 3 or pts.strides[1] != 4:
+            pts = np.ascontiguousarray(pts[:, :3], np.float32)
+        stride = pts.strides[0] // 4
+        if lidar.even_dist:
+            vres = np.float32((lidar.vertical_max - lidar.vertical_min) / (H - 1))
+            va_ptr, n_chan = None, 0
+        else:
+            vres = np.float32(0.0)
+            va = np.radians(
+                np.asarray(lidar.vertical_angles_deg, np.float64)
+            ).astype(np.float32)
+            va = np.ascontiguousarray(va)
+            va_ptr, n_chan = va.ctypes.data_as(ct.c_void_p), int(va.shape[0])
+        scratch = np.zeros(H * W, np.float32)
+        out = np.empty(H * W, np.uint16)
+        delta = np.zeros(1, np.float32)
+        lib.project_bin_raster_u16(
+            pts.ctypes.data_as(ct.c_void_p),
+            ct.c_int64(pts.shape[0]),
+            ct.c_int64(stride),
+            ct.c_int32(H),
+            ct.c_int32(W),
+            ct.c_int32(1 if lidar.even_dist else 0),
+            ct.c_float(np.float32(lidar.horizontal_fov)),
+            ct.c_float(np.float32(lidar.vertical_min)),
+            ct.c_float(vres),
+            va_ptr,
+            ct.c_int32(n_chan),
+            ct.c_float(floor),
+            scratch.ctypes.data_as(ct.c_void_p),
+            out.ctypes.data_as(ct.c_void_p),
+            delta.ctypes.data_as(ct.c_void_p),
+        )
+        return out.reshape(H, W), np.float32(delta[0])
+
+    ri = project_points_host(points, lidar)
+    d = np.float32(max(float(floor), float(ri.max()) / 65535.0))
+    q = np.rint(ri * (np.float32(1.0) / d))
+    return np.minimum(q, np.float32(65535.0)).astype(np.uint16), d

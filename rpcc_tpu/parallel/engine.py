@@ -126,20 +126,14 @@ class BatchEngine:
             list(self._pool.map(one, range(len(clouds))))
             return out, None, len(clouds)
 
+        from rpcc_tpu.ops.projection import project_points_host_u16
+
         out = np.zeros((self.batch_size, self.H, self.W), np.uint16)
         deltas = np.full((self.batch_size,), np.float32(1.0), np.float32)
         floor = np.float32(self.cfg.step / 16.0)
 
         def one16(i: int) -> None:
-            ri = project_points_host(
-                np.asarray(clouds[i], np.float32)[:, :3], self.lidar
-            )
-            d = np.float32(max(floor, float(ri.max()) / 65535.0))
-            deltas[i] = d
-            q = np.rint(ri * (np.float32(1.0) / d))
-            # f32 rounding of d can push max/d a hair past 65535 -> clamp
-            # (never truncates real depth: d >= depth_max/65535 by choice).
-            out[i] = np.minimum(q, np.float32(65535.0)).astype(np.uint16)
+            out[i], deltas[i] = project_points_host_u16(clouds[i], self.lidar, floor)
 
         list(self._pool.map(one16, range(len(clouds))))
         return out, deltas, len(clouds)
@@ -359,14 +353,22 @@ class BatchEngine:
             dec = self._decode_b(contour, seq, stream, models, self._step_arg)
         else:
             dec = self._decode_b(contour, seq, stream, models, self._step_arg, sal)
-        _copy_async(dec.range_image)
+        if self._u16:
+            _copy_async(dec.range_u16, dec.delta)
+        else:
+            _copy_async(dec.range_image)
         return dec, len(blobs)
 
     def _back_project(self, dec, live: int) -> List[np.ndarray]:
         # Download the (B, H, W) range image, NOT the (B, H, W, 3) cloud: a
         # trailing dim of 3 is tile-padded to 128 on TPU, making its download
         # ~42x larger over the wire; back-projection is one host multiply.
-        ris = np.asarray(dec.range_image)
+        # In u16 transfer mode the u16 snap view halves it again.
+        if self._u16:
+            ris = np.asarray(dec.range_u16).astype(np.float32)
+            ris *= np.asarray(dec.delta)[:, None, None]
+        else:
+            ris = np.asarray(dec.range_image)
         if not hasattr(self, "_tm_np"):
             from rpcc_tpu.ops.projection import build_transform_map
 

@@ -59,7 +59,8 @@ def test_engine_u16_transfer_mode_bounds_and_roundtrip():
     ri_true = np.asarray(e32.encode_batch_device(clouds, seeds=range(4))[0].range_image)
     for i in range(4):
         rec_ri = np.linalg.norm(decoded[i], axis=-1)
-        bound = cfg16.accuracy + float(deltas[i]) / 2 + 1e-5
+        # encode-side snap + decode-side snap each contribute <= delta/2
+        bound = cfg16.accuracy + float(deltas[i]) + 1e-5
         both = ri_true[i] > 0
         assert np.abs(rec_ri[both] - ri_true[i][both]).max() <= bound
 

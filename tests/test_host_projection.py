@@ -101,6 +101,29 @@ def test_fused_native_projection_bit_identical_to_numpy(monkeypatch):
             np.testing.assert_array_equal(native, fallback)
 
 
+def test_u16_projection_native_matches_numpy_and_bounds():
+    from rpcc_tpu.ops.projection import project_points_host_u16
+    import rpcc_tpu.codec.lz4block as lz4block
+
+    pc = synth_scene(seed=4)
+    floor = np.float32(0.04 / 16.0)
+    q_nat, d_nat = project_points_host_u16(pc, SMALL, floor)
+    # numpy fallback must produce identical u16 grid + delta
+    lib = lz4block.native_lib
+    lz4block.native_lib = lambda: None
+    try:
+        q_np, d_np = project_points_host_u16(pc, SMALL, floor)
+    finally:
+        lz4block.native_lib = lib
+    assert d_nat == d_np
+    np.testing.assert_array_equal(q_nat, q_np)
+    # reconstruction error <= delta/2 vs the exact projection
+    ri = project_points_host(pc, SMALL)
+    rec = q_nat.astype(np.float32) * d_nat
+    assert np.abs(rec - ri).max() <= d_nat / 2 + 1e-7
+    assert ((q_nat > 0) == (ri > 0)).all() or (ri[q_nat == 0] < d_nat).all()
+
+
 def test_host_vs_device_projection_agrees_mod_ulps():
     pc = synth_scene(seed=3)
     dev = np.asarray(jax.jit(lambda p: project_points(p, SMALL, None))(pc))
