@@ -176,9 +176,7 @@ def build_encode_fn(
             models = point_model_table(point_means_stream(ri_s, order), num_models)
         else:
             models = plane_models_stream(
-                pc_planes.reshape(3, -1),
                 ri_s,
-                tm_planes_flat,
                 order,
                 k_model,
                 num_models,

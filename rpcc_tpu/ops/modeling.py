@@ -7,16 +7,16 @@ the codec's (num_models, 4) table: ``[0, 0, 0, mean_range]`` for point
 models, ``[a, b, c, d]`` for planes (``utils/segment_utils.py:177-181``).
 
 Plane modeling replaces the per-cluster python loop + unseeded o3d RANSAC
-(``utils/segment_utils.py:187-216``): every cluster is fitted *in parallel*.
-RANSAC hypothesis *selection* runs on a fixed-size random sample of each
-cluster (cheap, and the sample dominates the vote for any real cluster), but
-— like the reference, which fits and validates on every cluster point — the
-winning hypothesis is **refit over the cluster's full contiguous stream
-range** (weighted covariance from 10 segmented moment sums, centered at the
-per-cluster mean so f32 never squares ~50 m coordinates), and the scan-angle
-validation counts violating pixels over the whole cluster.  The reference's
-fallbacks apply: clusters under 30 pixels or planes too oblique to the scan
-rays keep the point model (``:203-204,212-216``).
+(``utils/segment_utils.py:187-216``): every cluster is fitted *in parallel*,
+and — like the reference, which fits, votes and validates on every cluster
+point — ALL of hypothesis voting, the winning plane's **refit** (weighted
+covariance from 10 segmented moment sums, centered at the per-cluster mean
+so f32 never squares ~50 m coordinates) and the scan-angle validation run
+over the cluster's full contiguous stream range.  Random gathers are
+confined to the ITERS*N hypothesis points (TPU serializes gathers; the
+previous 1024-px sampled vote cost 4x34 ms/batch in gathers alone).  The
+reference's fallbacks apply: clusters under 30 pixels or planes too oblique
+to the scan rays keep the point model (``:203-204,212-216``).
 """
 
 from __future__ import annotations
@@ -24,17 +24,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from rpcc_tpu.ops.ransac import (
-    fit_plane_weighted,
-    point_plane_distance_planar,
-    smallest_eigvec_3x3,
-)
+from rpcc_tpu.ops.ransac import fit_plane_weighted, smallest_eigvec_3x3
 
 MIN_PLANE_POINTS = 30  # utils/segment_utils.py:203
 CLUSTER_RANSAC_N = 4  # :208
 CLUSTER_RANSAC_ITERS = 10  # :209
 CLUSTER_RANSAC_THRESHOLD = 0.1  # o3d default used at :75-82
-PLANE_SAMPLE_CAPACITY = 1024  # per-cluster sample for hypothesis selection
 
 
 def point_model_table(means: jnp.ndarray, num_models: int) -> jnp.ndarray:
@@ -44,41 +39,47 @@ def point_model_table(means: jnp.ndarray, num_models: int) -> jnp.ndarray:
 
 
 def _select_hypotheses(
-    pc_planes_flat: jnp.ndarray,  # (3, HW) pixel order
+    xs: jnp.ndarray,  # (HW,) stream-order x
+    ys: jnp.ndarray,
+    zs: jnp.ndarray,
     order,  # StreamOrder
     key: jax.Array,
     num_models: int,
 ) -> jnp.ndarray:
-    """Best RANSAC hypothesis per cluster, voted on a fixed random sample of
-    its pixels (gathered through the stream permutation).  Returns (M, 4)."""
-    k_samp, k_hyp = jax.random.split(key)
+    """Best RANSAC hypothesis per cluster.  Hypothesis points are drawn from
+    the cluster's stream range (ITERS*N tiny gathers); votes are counted over
+    the WHOLE cluster with segmented sums — like the reference, which votes
+    on every cluster point (utils/segment_utils.py:75-82), and ~100x fewer
+    gathered elements than a per-cluster pixel sample (TPU serializes random
+    gathers).  Returns (M, 4)."""
+    from rpcc_tpu.ops.stream import expand_per_cluster_multi
+
+    hw = xs.shape[0]
     counts = order.counts
     cnt = jnp.maximum(counts, 1)[:, None]
-    u = jax.random.uniform(k_samp, (num_models, PLANE_SAMPLE_CAPACITY))
+    n_draw = CLUSTER_RANSAC_ITERS * CLUSTER_RANSAC_N
+    u = jax.random.uniform(key, (num_models, n_draw))
     offs = jnp.minimum((u * cnt).astype(jnp.int32), cnt - 1)
-    samp_pix = order.perm[order.starts[:, None] + offs]  # (M, S) small gather
-    sx = pc_planes_flat[0][samp_pix]
-    sy = pc_planes_flat[1][samp_pix]
-    sz = pc_planes_flat[2][samp_pix]
-    s_valid = (
-        jnp.arange(PLANE_SAMPLE_CAPACITY)[None, :]
-        < jnp.minimum(counts, PLANE_SAMPLE_CAPACITY)[:, None]
+    sidx = order.starts[:, None] + offs  # (M, ITERS*N) stream positions
+    hyp_pts = jnp.stack([xs[sidx], ys[sidx], zs[sidx]], axis=-1).reshape(
+        num_models, CLUSTER_RANSAC_ITERS, CLUSTER_RANSAC_N, 3
     )
+    ones = jnp.ones((CLUSTER_RANSAC_N,), xs.dtype)
+    planes = jax.vmap(jax.vmap(lambda p: fit_plane_weighted(p, ones)))(
+        hyp_pts
+    )  # (M, ITERS, 4)
 
-    def pick_one(px, py, pz, valid, k):
-        nv = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
-        uu = jax.random.uniform(k, (CLUSTER_RANSAC_ITERS, CLUSTER_RANSAC_N))
-        hyp_idx = jnp.minimum((uu * nv).astype(jnp.int32), nv - 1)
-        hyp_pts = jnp.stack([px[hyp_idx], py[hyp_idx], pz[hyp_idx]], axis=-1)
-        ones = jnp.ones((CLUSTER_RANSAC_N,), px.dtype)
-        planes = jax.vmap(lambda p: fit_plane_weighted(p, ones))(hyp_pts)
-        dists = point_plane_distance_planar(px, py, pz, planes)  # (T, S)
-        inl = (dists < CLUSTER_RANSAC_THRESHOLD) & valid[None, :]
-        cnts = jnp.sum(inl.astype(jnp.int32), axis=-1)
-        return planes[jnp.argmax(cnts)]
-
-    keys = jax.random.split(k_hyp, num_models)
-    return jax.vmap(pick_one)(sx, sy, sz, s_valid, keys)  # (M, 4)
+    pT = planes.transpose(2, 1, 0).reshape(4 * CLUSTER_RANSAC_ITERS, num_models)
+    e = expand_per_cluster_multi(pT, order, hw).reshape(
+        4, CLUSTER_RANSAC_ITERS, hw
+    )
+    ha, hb, hc, hd = e[0], e[1], e[2], e[3]  # (ITERS, hw) each
+    hnorm = jnp.sqrt(jnp.maximum(ha * ha + hb * hb + hc * hc, 1e-24))
+    dist = jnp.abs(ha * xs[None] + hb * ys[None] + hc * zs[None] + hd) / hnorm
+    inl = (dist < CLUSTER_RANSAC_THRESHOLD).astype(xs.dtype)
+    votes = per_cluster_sums_multi(inl, order)  # (ITERS, M)
+    best = jnp.argmax(votes, axis=0)  # (M,) first max, like np.argmax
+    return planes[jnp.arange(num_models), best]
 
 
 def per_cluster_sums_multi(values_s: jnp.ndarray, order) -> jnp.ndarray:
@@ -92,28 +93,29 @@ def per_cluster_sums_multi(values_s: jnp.ndarray, order) -> jnp.ndarray:
 
 
 def plane_models_stream(
-    pc_planes_flat: jnp.ndarray,  # (3, HW) planar x/y/z, pixel order
     ri_s: jnp.ndarray,  # (HW,) range in stream order
-    tm_planes_flat: jnp.ndarray,  # (3, HW) planar rays, pixel order
     order,  # StreamOrder
     key: jax.Array,
     num_models: int,
     angle_threshold_deg: float,
     rays_s,  # (tx, ty, tz) stream-order scan rays
 ) -> jnp.ndarray:
-    """Per-cluster RANSAC planes: sample-voted hypothesis, full-cluster refit
-    and full-cluster scan-angle validation (utils/segment_utils.py:187-216)."""
+    """Per-cluster RANSAC planes: full-cluster-voted hypothesis, full-cluster
+    refit and full-cluster scan-angle validation (utils/segment_utils.py:
+    187-216) — everything runs in stream space, gather-free but for the
+    ITERS*N hypothesis points."""
     from rpcc_tpu.ops.stream import expand_per_cluster, per_cluster_sums, point_means_stream
 
     hw = ri_s.shape[0]
     counts = order.counts
-    hyp = _select_hypotheses(pc_planes_flat, order, key, num_models)  # (M, 4)
 
     # Stream-space coordinates (identical to the pixel cloud: p = r * ray).
     tx, ty, tz = rays_s
     xs = ri_s * tx
     ys = ri_s * ty
     zs = ri_s * tz
+
+    hyp = _select_hypotheses(xs, ys, zs, order, key, num_models)  # (M, 4)
 
     # Inlier weights of the winning hypothesis over the WHOLE cluster.
     ha = expand_per_cluster(hyp[:, 0], order, hw)

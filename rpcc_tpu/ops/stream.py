@@ -110,6 +110,24 @@ def expand_per_cluster(
     return jax.lax.bitcast_convert_type(jnp.cumsum(base), jnp.float32)
 
 
+def expand_per_cluster_multi(
+    values: jnp.ndarray,  # (C, M) value rows per cluster id
+    order: StreamOrder,
+    hw: int,
+) -> jnp.ndarray:
+    """(C, M) -> (C, HW): the C-row variant of expand_per_cluster — same
+    bit-exact telescoping-diff scatter, ONE stacked cumsum."""
+    C, M = values.shape
+    vis = _visit_ids(M)
+    vals_v = jax.lax.bitcast_convert_type(
+        values[:, vis].astype(jnp.float32), jnp.int32
+    )
+    starts_v = order.starts[vis]
+    diffs = jnp.concatenate([vals_v[:, :1], vals_v[:, 1:] - vals_v[:, :-1]], axis=1)
+    base = jnp.zeros((C, hw), jnp.int32).at[:, starts_v].add(diffs, mode="drop")
+    return jax.lax.bitcast_convert_type(jnp.cumsum(base, axis=-1), jnp.float32)
+
+
 def per_cluster_sums(
     values_s: jnp.ndarray,  # (HW,) per-slot values in stream order
     order: StreamOrder,

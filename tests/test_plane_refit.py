@@ -77,9 +77,8 @@ def _fit(ri, seg, tm, angle_threshold=75.0, seed=0):
         NUM_MODELS,
     )
     ri_s, tx, ty, tz = carried
-    pc_flat = jnp.stack([ri_flat * tm_flat[0], ri_flat * tm_flat[1], ri_flat * tm_flat[2]])
     models = plane_models_stream(
-        pc_flat, ri_s, tm_flat, order, jax.random.PRNGKey(seed),
+        ri_s, order, jax.random.PRNGKey(seed),
         NUM_MODELS, angle_threshold, (tx, ty, tz),
     )
     return np.asarray(models)
