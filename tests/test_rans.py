@@ -154,3 +154,61 @@ def test_contour_container_backends_agree():
         rans_codec._RANS_DEVICE = "cpu"
     recs2 = rans_codec.decompress_contour_batch(blobs_jax)
     assert recs == recs2 == [p.tobytes() for p in packed]
+
+
+def test_fused_native_delta_containers_byte_identical_and_fallback():
+    """The fully-fused C++ delta encode (rans_delta_encode_frames) must emit
+    byte-identical containers to the numpy+kernel path for every dtype, and
+    fall back losslessly on escape-capacity overflow."""
+    from rpcc_tpu.codec import rans_codec as rc
+    from rpcc_tpu.codec import rans_native as rn
+    import pytest
+
+    if not rn.fused_available():
+        pytest.skip("native fused kernels unavailable")
+
+    rng = np.random.default_rng(9)
+    arrays = []
+    for i in range(4):
+        n = 40000 + 1000 * i
+        a = np.cumsum(rng.integers(-4, 5, n)).astype(np.int16)
+        a[rng.integers(0, n, 20)] = rng.integers(-2000, 2000, 20).astype(np.int16)
+        arrays.append(a)
+    arrays.append(rng.integers(0, 150, 50000).astype(np.uint16))
+    arrays.append(rng.integers(-80, 80, 70000).astype(np.int32))
+
+    fused = rc.compress_delta_batch(arrays)
+    plain = rc._compress_delta_batch_np(arrays)
+    for i, (f, p) in enumerate(zip(fused, plain)):
+        if arrays[i].size > rc.BZD_TRY_MAX_SYMBOLS:
+            assert f == p, f"frame {i} container differs"
+        assert rc.decompress_delta_batch([f])[0] == arrays[i].tobytes()
+
+    # escape overflow: > esc_cap large deltas -> numpy fallback, still exact
+    wild = rng.integers(-30000, 30000, 60000).astype(np.int16)
+    blob = rc.compress_delta_batch([wild])[0]
+    assert rc.decompress_delta_batch([blob])[0] == wild.tobytes()
+
+
+def test_fused_native_contour_containers_byte_identical():
+    from rpcc_tpu.codec import rans_codec as rc
+    from rpcc_tpu.codec import rans_native as rn
+    import pytest
+
+    if not rn.fused_available():
+        pytest.skip("native fused kernels unavailable")
+
+    rng = np.random.default_rng(11)
+    H, W = 32, 500
+    bits = (rng.random((5, H * W)) < 0.15).astype(np.uint8)
+    pk = np.packbits(bits, axis=1)
+    fused = rc._compress_bits_batch([pk[i] for i in range(5)], H, W)
+    orig = rn.fused_available
+    rn.fused_available = lambda: False
+    try:
+        plain = rc._compress_bits_batch([pk[i] for i in range(5)], H, W)
+    finally:
+        rn.fused_available = orig
+    for i, (f, p) in enumerate(zip(fused, plain)):
+        assert f == p, f"contour {i} differs"
+        assert rc.decompress_contour_batch([f])[0] == pk[i].tobytes()
