@@ -67,9 +67,18 @@ def build_decode_fn(lidar: LidarConfig, cfg: CodecConfig):
         model_param: jnp.ndarray,
         step: jnp.ndarray,
         salience: Optional[jnp.ndarray] = None,
+        exc_pos: Optional[jnp.ndarray] = None,  # (CAP,) i32, pad = hw
+        exc_val: Optional[jnp.ndarray] = None,  # (CAP,) i16
     ) -> DecoderOutput:
         """``step``: scalar uniform step, or per-level table ((L,)) in
         non-uniform mode — traced so accuracy changes never recompile.
+
+        ``sequence``/``stream`` may be shorter than HW (the engine uploads
+        bucketed live prefixes — the padded (B, HW) arrays are ~17 MB/batch
+        for ~1 MB of runs on this rig's ~50 MB/s host link); the tail is
+        reconstructed in-graph.  ``stream`` may also arrive as the i8
+        transfer view with an exception list (mirror of the encoder's
+        downlink compression): widen + scatter the few |q|>127 values.
 
         Stream-space mirror of the encoder: the same stable sort rebuilds
         the bitstream permutation + carried rays; prediction and
@@ -77,6 +86,24 @@ def build_decode_fn(lidar: LidarConfig, cfg: CodecConfig):
         order.  The stream tail (zero-pixel class, q padded 0, model row 1
         all-zero) reconstructs exact depth-0 pixels.
         """
+        if stream.dtype == jnp.int8:
+            s32 = stream.astype(jnp.int32)
+            if s32.shape[0] < hw:
+                s32 = jnp.concatenate(
+                    [s32, jnp.zeros((hw - s32.shape[0],), jnp.int32)]
+                )
+            if exc_pos is not None:
+                s32 = s32.at[exc_pos].set(
+                    exc_val.astype(jnp.int32), mode="drop"
+                )
+            stream = s32
+        elif stream.shape[0] < hw:
+            stream = jnp.concatenate(
+                [
+                    stream.astype(jnp.int32),
+                    jnp.zeros((hw - stream.shape[0],), jnp.int32),
+                ]
+            )
         contour = unpack_bits_msb(contour_packed, hw).reshape(H, W)
         seg = recover_map(contour, sequence.astype(jnp.int32))
         seg_flat = seg.reshape(-1)
@@ -111,18 +138,40 @@ def make_decoder(lidar: LidarConfig, cfg: CodecConfig):
     return jax.jit(build_decode_fn(lidar, cfg))
 
 
-def make_batch_decoder(lidar: LidarConfig, cfg: CodecConfig, mesh=None):
-    """Jitted batched decoder; batch dim sharded over mesh axis 'data'."""
+def make_batch_decoder(lidar: LidarConfig, cfg: CodecConfig, mesh=None, i8_stream: bool = False):
+    """Jitted batched decoder; batch dim sharded over mesh axis 'data'.
+
+    With ``i8_stream=True`` the stream argument is the (B, m) i8 transfer
+    view and two (B, CAP) exception arrays follow (after salience in
+    non-uniform mode)."""
     base = build_decode_fn(lidar, cfg)
     if cfg.uniform:
-        fn = jax.vmap(lambda c, q, s, m, step: base(c, q, s, m, step), in_axes=(0, 0, 0, 0, None))
+        if i8_stream:
+            fn = jax.vmap(
+                lambda c, q, s, m, step, ep, ev: base(
+                    c, q, s, m, step, None, ep, ev
+                ),
+                in_axes=(0, 0, 0, 0, None, 0, 0),
+            )
+        else:
+            fn = jax.vmap(
+                lambda c, q, s, m, step: base(c, q, s, m, step),
+                in_axes=(0, 0, 0, 0, None),
+            )
     else:
-        fn = jax.vmap(base, in_axes=(0, 0, 0, 0, None, 0))
+        if i8_stream:
+            fn = jax.vmap(base, in_axes=(0, 0, 0, 0, None, 0, 0, 0))
+        else:
+            fn = jax.vmap(
+                lambda c, q, s, m, step, sal: base(c, q, s, m, step, sal),
+                in_axes=(0, 0, 0, 0, None, 0),
+            )
     if mesh is None:
         return jax.jit(fn)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     b = NamedSharding(mesh, P("data"))
     r = NamedSharding(mesh, P())
-    in_sh = (b, b, b, b, r) if cfg.uniform else (b, b, b, b, r, b)
+    n_batched_tail = (0 if cfg.uniform else 1) + (2 if i8_stream else 0)
+    in_sh = (b, b, b, b, r) + (b,) * n_batched_tail
     return jax.jit(fn, in_shardings=in_sh, out_shardings=b)

@@ -78,6 +78,10 @@ def recover_map(contour: jnp.ndarray, sequence: jnp.ndarray) -> jnp.ndarray:
     pos, n = compact_flagged_positions(cflat)
     seq = sequence.astype(jnp.int32)
     diffs = jnp.concatenate([seq[:1], seq[1:] - seq[:-1]])
+    if diffs.shape[0] < hw:  # bucketed upload: tail runs cannot exist
+        diffs = jnp.concatenate(
+            [diffs, jnp.zeros((hw - diffs.shape[0],), jnp.int32)]
+        )
     diffs = jnp.where(iota < n, diffs, 0)
     _, base = jax.lax.sort((pos, diffs), num_keys=1, is_stable=True)
     return jnp.cumsum(base).reshape(H, W)

@@ -85,6 +85,7 @@ class BatchEngine:
             lidar, cfg, mesh, from_ri=True, ri_u16=self._u16
         )
         self._decode_b = make_batch_decoder(lidar, cfg, mesh)
+        self._decode_b_i8 = make_batch_decoder(lidar, cfg, mesh, i8_stream=True)
         self.entropy = BasicCompressor(
             method_name=cfg.basic_compressor, contour_shape=(self.H, self.W)
         )
@@ -302,14 +303,11 @@ class BatchEngine:
         from rpcc_tpu.models.encoder import num_model_rows
 
         nm = num_model_rows(self.cfg)
-        # Narrow upload dtypes (the device graph widens them): the wire
-        # format is already i16 residuals / u16 runs, and this halves the
-        # host->device bytes of the two (B, HW) arrays.
         contour = np.zeros((b, hw // 8), np.uint8)  # packed; device unpacks
-        seq = np.zeros((b, hw), np.uint16)
-        stream = np.zeros((b, hw), np.int16)
         models = np.zeros((b, nm, 4), np.float32)
         sal = np.zeros((b, nm), np.uint8)
+        seqs: List[Optional[np.ndarray]] = [None] * b
+        streams: List[Optional[np.ndarray]] = [None] * b
 
         packed = [unpack_bitstream(b, uniform=self.cfg.uniform) for b in blobs]
         resid_bytes = None
@@ -339,20 +337,59 @@ class BatchEngine:
             if contour_bytes is not None:
                 fields["contour_map"] = contour_bytes[i]
             contour[i] = np.frombuffer(fields["contour_map"], np.uint8)
-            s = np.frombuffer(fields["idx_sequence"], np.uint16).astype(np.int32)
-            seq[i, : s.shape[0]] = s
-            q = np.frombuffer(fields["residual_quantized"], np.int16).astype(np.int32)
-            stream[i, : q.shape[0]] = q
+            seqs[i] = np.frombuffer(fields["idx_sequence"], np.uint16)
+            streams[i] = np.frombuffer(fields["residual_quantized"], np.int16)
             m = np.frombuffer(fields["plane_param"], np.float32).reshape(-1, 4)
             models[i, : m.shape[0]] = m
             if "salience_level" in fields:
                 sal[i] = np.frombuffer(fields["salience_level"], np.uint8).astype(np.int32)
 
         list(self._pool.map(one, range(len(blobs))))
-        if self.cfg.uniform:
-            dec = self._decode_b(contour, seq, stream, models, self._step_arg)
+        # Bucketed uploads: the padded (B, HW) seq/stream arrays were ~17 MB
+        # for ~1 MB of live data, on a ~50 MB/s host link.  The decoder pads
+        # in-graph; the residual stream additionally rides the i8+exception
+        # transfer view when every frame fits (mirror of the encode downlink).
+        m_seq = _bucket(max((s.shape[0] for s in seqs if s is not None), default=1), hw)
+        m_stream = _bucket(
+            max((q.shape[0] for q in streams if q is not None), default=1), hw
+        )
+        seq = np.zeros((b, m_seq), np.uint16)
+        for i, s in enumerate(seqs):
+            if s is not None:
+                seq[i, : s.shape[0]] = s
+        exc_ok = True
+        exc_pos = np.full((b, EXC_CAP), hw, np.int32)
+        exc_val = np.zeros((b, EXC_CAP), np.int16)
+        stream8 = np.zeros((b, m_stream), np.int8)
+        for i, q in enumerate(streams):
+            if q is None:
+                continue
+            mask = np.abs(q.astype(np.int32)) > 127
+            n_exc = int(mask.sum())
+            if n_exc > EXC_CAP:
+                exc_ok = False
+                break
+            s8 = np.where(mask, -128, q).astype(np.int8)
+            stream8[i, : q.shape[0]] = s8
+            pos = np.nonzero(mask)[0]
+            exc_pos[i, :n_exc] = pos
+            exc_val[i, :n_exc] = q[pos]
+        if exc_ok:
+            dec_fn = self._decode_b_i8
+            args = (contour, seq, stream8, models, self._step_arg)
+            tail = (exc_pos, exc_val)
         else:
-            dec = self._decode_b(contour, seq, stream, models, self._step_arg, sal)
+            dec_fn = self._decode_b
+            stream = np.zeros((b, m_stream), np.int16)
+            for i, q in enumerate(streams):
+                if q is not None:
+                    stream[i, : q.shape[0]] = q
+            args = (contour, seq, stream, models, self._step_arg)
+            tail = ()
+        if self.cfg.uniform:
+            dec = dec_fn(*args, *tail)
+        else:
+            dec = dec_fn(*args, sal, *tail)
         if self._u16:
             _copy_async(dec.range_u16, dec.delta)
         else:

@@ -96,6 +96,14 @@ def test_engine_i8_transfer_exceptions_and_fallback():
             stream16[i, : int(np.asarray(out.stream_len)[i])],
         )
 
+    # Decode side: the noise frame overflows the i8 upload view too, forcing
+    # the i16 decoder program — reconstruction must still meet the bound.
+    decoded = engine.decode_blobs([blob for blob, _ in results])
+    ri = np.asarray(out.range_image)
+    for i, rec in enumerate(decoded):
+        rec_ri = np.linalg.norm(rec, axis=-1)
+        assert np.abs(rec_ri - ri[i]).max() <= cfg.step + 1e-5
+
     # Exception path (not fallback): verify reconstruction equality directly.
     out2, live2 = engine.encode_batch_device([synth_scene(seed=2)] * 2, seeds=[5, 6])
     exc2 = np.asarray(out2.exc_count)
