@@ -201,15 +201,39 @@ def main() -> None:
         }
     )
 
-    # ---- config 1b: u16 transfer precision (half the upload bytes; the
-    # per-frame snap adds <= delta/2 = accuracy/16 reconstruction error vs
-    # the raw cloud — max_depth_err below is vs the snapped range image)
-    line, _, _, _ = bench_config(
+    # ---- config 1b: u16 transfer precision (half the wire bytes in both
+    # directions; each per-frame snap adds <= delta/2 = accuracy/16
+    # reconstruction error vs the raw cloud — max_depth_err below is vs the
+    # snapped encode-side range image)
+    line, engine16, blob16, ri16 = bench_config(
         "kitti64e_e2e_encode_u16_transfer_acc0.02_" + cfg1.basic_compressor,
         lidar64, CodecConfig(transfer_precision="u16"), pc, n_chips, e2e=True,
         extra={"transfer": "u16"},
     )
     emit(line)
+    var16 = engine16.encode_frames(
+        [v for v in _jittered_variants(pc, 8) for _ in range(4)], seeds=range(BATCH)
+    )
+    blobs16 = [b for b, _ in var16]
+    engine16.decode_blobs(blobs16)  # warm
+    t0 = time.perf_counter()
+    for recs in engine16.decode_pipeline([blobs16] * reps):
+        pass
+    dec16 = reps * BATCH / (time.perf_counter() - t0) / n_chips
+    rec16 = np.linalg.norm(engine16.decode_blobs([blob16])[0], axis=-1)
+    delta_dec = float(cfg1.step) / 16.0  # decode-side snap floor
+    emit(
+        {
+            "metric": "kitti64e_e2e_decode_u16_transfer_acc0.02_" + cfg1.basic_compressor,
+            "value": round(dec16, 3),
+            "unit": "frames/s/chip",
+            "vs_baseline": round(dec16 / BASELINE_FPS, 3),
+            "max_depth_err": round(float(np.abs(rec16 - ri16).max()), 5),
+            "err_bound": round(cfg1.step + delta_dec / 2 + 1e-5, 5),
+            "transfer": "u16",
+            "chips": n_chips,
+        }
+    )
 
     # ---- config 2: plane modeling
     line, _, _, _ = bench_config(
