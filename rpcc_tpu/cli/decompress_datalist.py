@@ -51,23 +51,43 @@ def main() -> None:
 
     t0 = time.time()
     done = 0
-    for start in range(0, len(file_list), args.batch):
-        names = file_list[start : start + args.batch]
-        try:
-            blobs = [open(fp, "rb").read() for fp in names]
-            pcs = engine.decode_blobs(blobs)
-        except Exception as e:
-            if not args.keep_going:
-                raise
-            print(f"ERROR decoding batch at {names[0]}: {e}")
-            continue
+    if args.keep_going:
+        # Failure-isolation path: per-batch decode so one corrupt bitstream
+        # only skips its own batch.
+        for start in range(0, len(file_list), args.batch):
+            names = file_list[start : start + args.batch]
+            try:
+                blobs = [open(fp, "rb").read() for fp in names]
+                pcs = engine.decode_blobs(blobs)
+            except Exception as e:
+                print(f"ERROR decoding batch at {names[0]}: {e}")
+                continue
 
-        def write(i: int) -> None:
-            path = output_path_for(names[i], args.output_dir, "bin")
-            save_point_cloud(path, pcs[i].reshape(-1, 3))
+            def write(i: int) -> None:
+                path = output_path_for(names[i], args.output_dir, "bin")
+                save_point_cloud(path, pcs[i].reshape(-1, 3))
 
-        list(io_pool.map(write, range(len(names))))
-        done += len(names)
+            list(io_pool.map(write, range(len(names))))
+            done += len(names)
+    else:
+        # Throughput path: 2-deep pipeline — batch k's entropy decode +
+        # upload overlaps batch k-1's range-image download + writes.
+        name_batches = [
+            file_list[s : s + args.batch]
+            for s in range(0, len(file_list), args.batch)
+        ]
+
+        def gen():
+            for names in name_batches:
+                yield [open(fp, "rb").read() for fp in names]
+
+        for names, pcs in zip(name_batches, engine.decode_pipeline(gen())):
+            def write(i: int) -> None:
+                path = output_path_for(names[i], args.output_dir, "bin")
+                save_point_cloud(path, pcs[i].reshape(-1, 3))
+
+            list(io_pool.map(write, range(len(names))))
+            done += len(names)
 
     dt = time.time() - t0
     print(f"\nDecompressed {done} frames in {dt:.2f}s ({done / dt:.2f} frames/s)")
