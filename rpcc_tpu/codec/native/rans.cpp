@@ -57,14 +57,22 @@ inline void normalize_freqs_row(const int64_t* cnt, int A, int32_t* f) {
 inline void encode_lanes(const int32_t* sym, const int32_t* ctx, int L, int T,
                          const int32_t* freqs, const uint32_t* cums, int A,
                          uint16_t* words, int32_t* counts, uint32_t* states,
-                         uint16_t* packed, int32_t* n_words_out) {
+                         uint16_t* packed, int32_t* n_words_out,
+                         int64_t n_live = -1) {
     for (int l = 0; l < L; l++) {
         const int32_t* s = sym + (size_t)l * T;
         const int32_t* cx = ctx + (size_t)l * T;
         uint16_t* w = words + (size_t)l * T;
         uint32_t x = RANS_L;
         int32_t cnt = 0;
-        for (int t = T - 1; t >= 0; t--) {
+        int32_t start;
+        if (n_live < 0) {
+            start = T;
+        } else {
+            int64_t v = n_live - (int64_t)l * T;
+            start = (int32_t)((v < 0) ? 0 : (v > T ? T : v));
+        }
+        for (int t = start - 1; t >= 0; t--) {
             uint32_t f = (uint32_t)freqs[(size_t)cx[t] * A + s[t]];
             uint32_t c = cums[(size_t)cx[t] * A + s[t]];
             if ((x >> 18) >= f) {
@@ -89,11 +97,23 @@ inline void encode_lanes(const int32_t* sym, const int32_t* ctx, int L, int T,
 
 extern "C" {
 
+namespace {
+inline int32_t live_of(int64_t n, int l, int T) {
+    int64_t v = n - (int64_t)l * T;
+    if (v < 0) v = 0;
+    if (v > T) v = T;
+    return (int32_t)v;
+}
+}  // namespace
+
 // sym/ctx: (B, L, T) int32; freqs: (B, C, A) uint16; cums: (B, C, A) uint32.
-// Outputs: words (B, L, T) u16 front-packed per lane, counts (B, L) i32,
-// states (B, L) u32.
+// lens: (B,) live flat lengths, or nullptr to code everything (LIVE-AWARE
+// lanes: positions >= lens[b] are never entropy-coded; the decoder must be
+// given the same lens).  Outputs: words (B, L, T) u16 front-packed per
+// lane, counts (B, L) i32, states (B, L) u32.
 void rans_encode_ctx_batch(const int32_t* sym, const int32_t* ctx,
                            const uint16_t* freqs, const uint32_t* cums,
+                           const int64_t* lens,
                            int B, int L, int T, int C, int A,
                            uint16_t* words, int32_t* counts, uint32_t* states) {
 #pragma omp parallel for schedule(dynamic, 1)
@@ -102,13 +122,14 @@ void rans_encode_ctx_batch(const int32_t* sym, const int32_t* ctx,
         const int32_t* cb = ctx + (size_t)b * L * T;
         const uint16_t* fb = freqs + (size_t)b * C * A;
         const uint32_t* qb = cums + (size_t)b * C * A;
+        const int64_t n = lens ? lens[b] : (int64_t)L * T;
         for (int l = 0; l < L; l++) {
             const int32_t* s = sb + (size_t)l * T;
             const int32_t* cx = cb + (size_t)l * T;
             uint16_t* w = words + ((size_t)b * L + l) * T;
             uint32_t x = RANS_L;
             int32_t cnt = 0;
-            for (int t = T - 1; t >= 0; t--) {
+            for (int t = live_of(n, l, T) - 1; t >= 0; t--) {
                 uint32_t f = fb[(size_t)cx[t] * A + s[t]];
                 uint32_t c = qb[(size_t)cx[t] * A + s[t]];
                 if ((x >> 18) >= f) {
@@ -126,9 +147,12 @@ void rans_encode_ctx_batch(const int32_t* sym, const int32_t* ctx,
 // words: (B, L, T) u16 front-packed; slot2sym: (B, C, M) u16.
 // mode: 0 zigzag buckets, 1 wavefront bits, 2 always-ctx-0.
 // sym_out: (B, L, T) int32.
+// lives: (B, L) live symbols per lane (supports mixed-T batches decoded at
+// a common T_max), or nullptr to decode everything.
 void rans_decode_ctx_batch(const uint16_t* words, const int32_t* counts,
                            const uint32_t* states, const uint16_t* freqs,
                            const uint32_t* cums, const uint16_t* slot2sym,
+                           const int32_t* lives,
                            int B, int L, int T, int C, int A, int mode,
                            int32_t* sym_out) {
 #pragma omp parallel for schedule(dynamic, 1)
@@ -147,7 +171,9 @@ void rans_decode_ctx_batch(const uint16_t* words, const int32_t* counts,
             uint32_t x = states[(size_t)b * L + l];
             int32_t cur = counts[(size_t)b * L + l];
             int32_t prev = 0;
-            for (int t = 0; t < T; t++) {
+            int32_t live = lives ? lives[(size_t)b * L + l] : T;
+            if (live > T) live = T;
+            for (int t = 0; t < live; t++) {
                 int cid = 0;
                 if (t > 0) {
                     if (mode == 0) {
@@ -234,12 +260,14 @@ void rans_delta_encode_frames(
             continue;
         }
         esc_counts[b] = n_esc;
-        // Context ids + joint histogram over the full padded stream.
+        // Context ids + joint histogram over the LIVE stream only
+        // (live-aware lanes: padding is never modeled nor coded).
         std::vector<int64_t> hist((size_t)C * A, 0);
         for (int l = 0; l < L; l++) {
             int32_t prev = 0;
             const int64_t off = (int64_t)l * T;
-            for (int t = 0; t < T; t++) {
+            const int32_t live = live_of(n, l, T);
+            for (int t = 0; t < live; t++) {
                 int cid = (t == 0) ? 0 : zigzag_ctx(prev);
                 int32_t s = sym[off + t];
                 ctx[off + t] = cid;
@@ -260,7 +288,7 @@ void rans_delta_encode_frames(
         encode_lanes(sym.data(), ctx.data(), L, T, fq, cums.data(), A,
                      words.data(), counts + (size_t)b * L,
                      states + (size_t)b * L, packed + (size_t)b * LT,
-                     n_words_out + b);
+                     n_words_out + b, n);
     }
 }
 

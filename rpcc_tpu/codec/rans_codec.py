@@ -489,17 +489,22 @@ def _compress_delta_batch_np(arrays: Sequence[np.ndarray], lanes: int | None = N
     sym3d = np.zeros((B, lanes, T), np.int32)
     for i, (sym, _, _, n) in enumerate(per):
         sym3d[i].reshape(-1)[:n] = sym
+    ns = np.asarray([p[3] for p in per], np.int64)
     nat = _native()
     if nat is not None:
         ctx3d = _zigzag_ctx_np(sym3d)
         words_np, counts_np, states_raw, freqs_raw = nat.encode_ctx_batch(
-            sym3d, ctx3d, ALPHABET, _r.NUM_CTX
+            sym3d, ctx3d, ALPHABET, _r.NUM_CTX, ns=ns
         )
         freqs_np = freqs_raw.astype(np.int64)
         states_np = states_raw.astype("<u4")
     else:
+        import jax.numpy as jnp
+
         with _rans_backend():
-            code, freqs = _r.encode_streams_batch_ctx(sym3d, ALPHABET)
+            code, freqs = _r.encode_streams_batch_ctx(
+                sym3d, ALPHABET, ns=jnp.asarray(ns, jnp.int32)
+            )
         freqs_np = np.asarray(freqs).astype(np.int64)  # (B, C, A)
         counts_np = np.asarray(code.counts)  # (B, L)
         states_np = np.asarray(code.states).astype("<u4")  # (B, L)
@@ -598,27 +603,43 @@ def decompress_delta_batch(blobs: Sequence[bytes]) -> List[bytes]:
             words[i, lane_of, pos] = packed
         counts[i] = cnt
         states[i] = st
+    # Live-aware lanes: the encoders never code positions >= n, laid out
+    # with the frame's OWN T (mixed-T batches decode at T_max).
+    lives = np.zeros((B, lanes), np.int32)
+    for i, p in enumerate(parsed):
+        T_i, n_i = p[2], p[3]
+        lives[i] = np.clip(n_i - np.arange(lanes) * T_i, 0, T_i)
     nat = _native()
     if nat is not None:
         if magic == MAGIC_CTX:
             freqs = np.stack([p[6] for p in parsed])  # (B, C, A)
             sym_all = nat.decode_ctx_batch(
-                words, counts, states, freqs, T_max, nat.MODE_ZIGZAG
+                words, counts, states, freqs, T_max, nat.MODE_ZIGZAG, lives=lives
             )
         else:
             freqs = np.stack([p[6][:1] for p in parsed])  # (B, 1, A)
             sym_all = nat.decode_ctx_batch(
-                words, counts, states, freqs, T_max, nat.MODE_ORDER0
+                words, counts, states, freqs, T_max, nat.MODE_ORDER0, lives=lives
             )
     else:
+        import jax.numpy as jnp
+
         code = _r.RansCode(words, counts, states)
+        lives_j = jnp.asarray(lives)
         with _rans_backend():
             if magic == MAGIC_CTX:
                 freqs = np.stack([p[6] for p in parsed])  # (B, C, A)
-                sym_all = np.asarray(_r.decode_streams_batch_ctx(code, freqs, T_max))
+                sym_all = np.asarray(
+                    _r.decode_streams_batch_ctx(code, freqs, T_max, lives=lives_j)
+                )
             else:
                 freqs = np.stack([p[6][0] for p in parsed])  # (B, A)
-                sym_all = np.asarray(_r.decode_streams_batch(code, freqs, T_max))
+                sym_all = np.asarray(
+                    _r.decode_streams_batch_ctx(
+                        code, freqs[:, None, :], T_max,
+                        ctx_fn=lambda p_: jnp.zeros_like(p_), lives=lives_j,
+                    )
+                )
 
     out: List[bytes] = []
     for i, (_m, _l, T, n, q0, escapes, _f, _s, _c, _p, dt_code) in enumerate(parsed):

@@ -39,9 +39,9 @@ def _lib():
         import ctypes as ct
 
         lib.rans_encode_ctx_batch.restype = None
-        lib.rans_encode_ctx_batch.argtypes = [ct.c_void_p] * 4 + [ct.c_int] * 5 + [ct.c_void_p] * 3
+        lib.rans_encode_ctx_batch.argtypes = [ct.c_void_p] * 5 + [ct.c_int] * 5 + [ct.c_void_p] * 3
         lib.rans_decode_ctx_batch.restype = None
-        lib.rans_decode_ctx_batch.argtypes = [ct.c_void_p] * 6 + [ct.c_int] * 6 + [ct.c_void_p]
+        lib.rans_decode_ctx_batch.argtypes = [ct.c_void_p] * 7 + [ct.c_int] * 6 + [ct.c_void_p]
         if hasattr(lib, "rans_delta_encode_frames"):
             lib.rans_delta_encode_frames.restype = None
             lib.rans_delta_encode_frames.argtypes = (
@@ -92,24 +92,32 @@ def _slot2sym(freqs: np.ndarray) -> np.ndarray:
     return out.reshape(*lead, M)
 
 
-def hist_joint(sym: np.ndarray, ctx: np.ndarray, alphabet: int, num_ctx: int) -> np.ndarray:
-    """(B, ...) symbols+contexts -> (B, C, A) counts."""
+def hist_joint(sym: np.ndarray, ctx: np.ndarray, alphabet: int, num_ctx: int,
+               ns: np.ndarray | None = None) -> np.ndarray:
+    """(B, ...) symbols+contexts -> (B, C, A) counts (over the live prefix
+    only when ``ns`` is given)."""
     B = sym.shape[0]
     out = np.empty((B, num_ctx, alphabet), np.int64)
     for i in range(B):
         joint = ctx[i].reshape(-1) * alphabet + sym[i].reshape(-1)
+        if ns is not None:
+            joint = joint[: int(ns[i])]
         out[i] = np.bincount(joint, minlength=num_ctx * alphabet).reshape(num_ctx, alphabet)
     return out
 
 
 def encode_ctx_batch(
-    sym3d: np.ndarray, ctx3d: np.ndarray, alphabet: int, num_ctx: int
+    sym3d: np.ndarray, ctx3d: np.ndarray, alphabet: int, num_ctx: int,
+    ns: np.ndarray | None = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """-> (words (B,L,T) u16, counts (B,L) i32, states (B,L) u32,
-    freqs (B,C,A) i32), matching the jax kernels bit-for-bit."""
+    freqs (B,C,A) i32), matching the jax kernels bit-for-bit.
+
+    With ``ns`` (B,) the lanes are live-aware (positions >= ns[b] are not
+    modeled or coded)."""
     lib = _lib()
     B, L, T = sym3d.shape
-    counts_h = hist_joint(sym3d, ctx3d, alphabet, num_ctx)
+    counts_h = hist_joint(sym3d, ctx3d, alphabet, num_ctx, ns=ns)
     freqs = normalize_freqs(counts_h)
     cums = _cums(freqs)
     sym_c = np.ascontiguousarray(sym3d, np.int32)
@@ -119,8 +127,10 @@ def encode_ctx_batch(
     words = np.zeros((B, L, T), np.uint16)
     counts = np.zeros((B, L), np.int32)
     states = np.zeros((B, L), np.uint32)
+    lens_c = None if ns is None else np.ascontiguousarray(ns, np.int64)
     lib.rans_encode_ctx_batch(
         sym_c.ctypes.data, ctx_c.ctypes.data, freqs_c.ctypes.data, cums_c.ctypes.data,
+        None if lens_c is None else lens_c.ctypes.data,
         B, L, T, num_ctx, alphabet,
         words.ctypes.data, counts.ctypes.data, states.ctypes.data,
     )
@@ -195,8 +205,10 @@ def decode_ctx_batch(
     freqs: np.ndarray,  # (B, C, A)
     T: int,
     mode: int,
+    lives: np.ndarray | None = None,  # (B, L) live symbols per lane
 ) -> np.ndarray:
-    """-> (B, L*T) int32 symbols."""
+    """-> (B, L*T) int32 symbols (live-aware when ``lives`` given; per-lane
+    counts support mixed-T batches decoded at a common T_max)."""
     lib = _lib()
     B, C, A = freqs.shape
     L = counts.shape[1]
@@ -209,9 +221,11 @@ def decode_ctx_batch(
     cums_c = np.ascontiguousarray(cums, np.uint32)
     s2s_c = np.ascontiguousarray(s2s, np.uint16)
     sym = np.zeros((B, L, T), np.int32)
+    lives_c = None if lives is None else np.ascontiguousarray(lives, np.int32)
     lib.rans_decode_ctx_batch(
         words_c.ctypes.data, counts_c.ctypes.data, states_c.ctypes.data,
         freqs_c.ctypes.data, cums_c.ctypes.data, s2s_c.ctypes.data,
+        None if lives_c is None else lives_c.ctypes.data,
         B, L, T, C, A, mode,
         sym.ctypes.data,
     )

@@ -162,30 +162,44 @@ def decode_stream(code: RansCode, freqs: jnp.ndarray, T: int) -> jnp.ndarray:
 
 
 # ------------------------------------------------ context-modeled variants
+def lane_live(n, L: int, T: int) -> jnp.ndarray:
+    """Per-lane live symbol counts for a flat stream of length ``n`` laid out
+    (L, T) row-major: lane l codes only flat positions < n (LIVE-AWARE
+    lanes — tail padding is never entropy-coded; the decoder reconstructs
+    the lane lengths from the container's ``n``)."""
+    return jnp.clip(n - jnp.arange(L, dtype=jnp.int32) * T, 0, T)
+
+
 def rans_encode_ctx(
     symbols: jnp.ndarray,  # (L, T) int32
     ctx: jnp.ndarray,  # (L, T) int32 in [0, C) — context of each symbol
     freqs: jnp.ndarray,  # (C, A)
     cums: jnp.ndarray,  # (C, A)
+    live: jnp.ndarray | None = None,  # (L,) live symbols per lane
 ) -> RansCode:
     """rANS with a per-symbol model choice (context from already-coded data,
-    so the decoder can reproduce it)."""
+    so the decoder can reproduce it).  Lane positions >= ``live`` are
+    skipped entirely (None codes everything)."""
     L, T = symbols.shape
     f_all = freqs[ctx, symbols].astype(jnp.uint32)  # (L, T)
     c_all = cums[ctx, symbols].astype(jnp.uint32)
+    if live is None:
+        live = jnp.full((L,), T, jnp.int32)
 
     def step(carry, t):
         x, words, cnt = carry
         idx = T - 1 - t
+        active = idx < live
         f = f_all[:, idx]
         c = c_all[:, idx]
-        emit = (x >> jnp.uint32(18)) >= f
+        emit = active & ((x >> jnp.uint32(18)) >= f)
         word = (x & WORD_MASK).astype(jnp.uint16)
         pos = jnp.where(emit, cnt, T)
         words = words.at[jnp.arange(L), pos].set(word, mode="drop")
         cnt = cnt + emit.astype(jnp.int32)
         x = jnp.where(emit, x >> jnp.uint32(IO_BITS), x)
-        x = (x // f) * jnp.uint32(M) + c + (x % f)
+        x_new = (x // f) * jnp.uint32(M) + c + (x % f)
+        x = jnp.where(active, x_new, x)
         return (x, words, cnt), None
 
     x0 = jnp.full((L,), RANS_L, jnp.uint32)
@@ -202,26 +216,33 @@ def rans_decode_ctx(
     slot2sym: jnp.ndarray,  # (C, M)
     ctx_fn,  # prev_symbol (L,) int32 -> context (L,) int32
     T: int,
+    live: jnp.ndarray | None = None,  # (L,)
 ) -> jnp.ndarray:
     """Decode with contexts derived from the previously decoded symbol in
-    each lane (lane starts use context 0)."""
+    each lane (lane starts use context 0).  Lane positions >= ``live``
+    decode to 0 without touching the state (live-aware lanes)."""
     words, counts, states = code
     L = states.shape[0]
     freqs_u = freqs.astype(jnp.uint32)
     cums_u = cums.astype(jnp.uint32)
+    if live is None:
+        live = jnp.full((L,), T, jnp.int32)
 
     def step(carry, t):
         x, cur, prev = carry
+        active = t < live
         c_id = jnp.where(t == 0, jnp.zeros((L,), jnp.int32), ctx_fn(prev))
         slot = (x & jnp.uint32(M - 1)).astype(jnp.int32)
         s = slot2sym[c_id, slot]
         f = freqs_u[c_id, s]
         c = cums_u[c_id, s]
-        x = f * (x >> jnp.uint32(PROB_BITS)) + slot.astype(jnp.uint32) - c
-        need = x < jnp.uint32(RANS_L)
+        x_new = f * (x >> jnp.uint32(PROB_BITS)) + slot.astype(jnp.uint32) - c
+        need = active & (x_new < jnp.uint32(RANS_L))
         nxt = jnp.where(need, cur - 1, cur)
         w = words[jnp.arange(L), jnp.maximum(nxt, 0)].astype(jnp.uint32)
-        x = jnp.where(need, (x << jnp.uint32(IO_BITS)) | w, x)
+        x_new = jnp.where(need, (x_new << jnp.uint32(IO_BITS)) | w, x_new)
+        x = jnp.where(active, x_new, x)
+        s = jnp.where(active, s, 0)
         return (x, nxt, s), s
 
     init = (states, counts, jnp.zeros((L,), jnp.int32))
@@ -314,20 +335,31 @@ def encode_streams_batch_ctx(
     alphabet: int,
     ctx_fn=zigzag_magnitude_context,
     num_ctx: int = NUM_CTX,
+    ns: jnp.ndarray | None = None,  # (B,) live stream lengths
 ):
-    """Context-modeled batch encode; returns (code, freqs (B, C, A))."""
-    ctx = _ctx_of(sym3d, ctx_fn)
+    """Context-modeled batch encode; returns (code, freqs (B, C, A)).
 
-    def hist_one(sym_f, ctx_f):
+    With ``ns`` the lanes are live-aware: tail padding is neither counted in
+    the histograms nor entropy-coded."""
+    B, L, T = sym3d.shape
+    ctx = _ctx_of(sym3d, ctx_fn)
+    if ns is None:
+        ns = jnp.full((B,), L * T, jnp.int32)
+    lives = jax.vmap(lambda n: lane_live(n, L, T))(ns)  # (B, L)
+
+    def hist_one(sym_f, ctx_f, n):
         joint = ctx_f * alphabet + sym_f
-        return _hist_sorted(joint, num_ctx * alphabet).reshape(num_ctx, alphabet)
+        joint = jnp.where(jnp.arange(L * T) < n, joint, num_ctx * alphabet)
+        return _hist_sorted(joint, num_ctx * alphabet + 1)[:-1].reshape(
+            num_ctx, alphabet
+        )
 
     counts = jax.vmap(hist_one)(
-        sym3d.reshape(sym3d.shape[0], -1), ctx.reshape(ctx.shape[0], -1)
+        sym3d.reshape(B, -1), ctx.reshape(B, -1), ns
     )  # (B, C, A)
     freqs = jax.vmap(jax.vmap(normalize_freqs))(counts)
     cums = jax.vmap(jax.vmap(cumulative))(freqs)
-    code = jax.vmap(rans_encode_ctx)(sym3d, ctx, freqs, cums)
+    code = jax.vmap(rans_encode_ctx)(sym3d, ctx, freqs, cums, lives)
     return code, freqs
 
 
@@ -353,11 +385,19 @@ def encode_streams_batch_ctx_explicit(
 
 @functools.partial(jax.jit, static_argnames=("T", "ctx_fn"))
 def decode_streams_batch_ctx(
-    code: RansCode, freqs: jnp.ndarray, T: int, ctx_fn=zigzag_magnitude_context
+    code: RansCode,
+    freqs: jnp.ndarray,
+    T: int,
+    ctx_fn=zigzag_magnitude_context,
+    lives: jnp.ndarray | None = None,  # (B, L) live symbols per lane
 ) -> jnp.ndarray:
+    B = freqs.shape[0]
+    L = code.states.shape[1]
     cums = jax.vmap(jax.vmap(cumulative))(freqs)
     s2s = jax.vmap(jax.vmap(slot_to_symbol))(freqs)
+    if lives is None:
+        lives = jnp.full((B, L), T, jnp.int32)
     sym = jax.vmap(
-        lambda c, f, cu, s: rans_decode_ctx(c, f, cu, s, ctx_fn, T)
-    )(code, freqs, cums, s2s)
+        lambda c, f, cu, s, lv: rans_decode_ctx(c, f, cu, s, ctx_fn, T, lv)
+    )(code, freqs, cums, s2s, jnp.minimum(lives, T))
     return sym.reshape(sym.shape[0], -1)

@@ -57,8 +57,11 @@ def codec_and_frame():
 #    f64 kernels shared bit-for-bit by the numpy fallback and the fused
 #    native C++ kernel (projection.py::_atan2_det): rans bpp 2.8090,
 #    bzip2 bpp 3.0952.
-GOLDEN_BPP = 2.8090
-GOLDEN_SHA = "2782e9e68a0fd10f15c6f02782498a7eb9373e41b16a7e4ba9b0e920602966c7"
+#  - 2026-08-17 r2: LIVE-AWARE rANS lanes (tail padding neither modeled nor
+#    coded — required so the fixed-shape on-device encoder matches host
+#    sizes): rans bpp 2.8081.
+GOLDEN_BPP = 2.8081
+GOLDEN_SHA = "717c81d86d018e82fb3625e46bd1b93b03d35f137d6b0b7a363c70a04869ede0"
 GOLDEN_BZIP2_BPP = 3.0952
 GOLDEN_BZIP2_SHA = "146cd8ff37c8d94e2bb988fb3ca5c14689423a6ff59d5b9c2a7645aa4b4142d3"
 
