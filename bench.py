@@ -238,6 +238,18 @@ def main() -> None:
         }
     )
 
+    # ---- config 1c: everything on device — u16 transfer + on-device rANS
+    # (the engine downloads ~30 KB/frame of compressed words instead of the
+    # residual/contour transfer views and skips the host entropy encode)
+    line, _, _, _ = bench_config(
+        "kitti64e_e2e_encode_device_entropy_acc0.02_rans",
+        lidar64,
+        CodecConfig(transfer_precision="u16", device_entropy=True),
+        pc, n_chips, e2e=True,
+        extra={"transfer": "u16", "entropy": "device"},
+    )
+    emit(line)
+
     # ---- config 2: plane modeling
     line, _, _, _ = bench_config(
         "kitti64e_plane_modeling_acc0.02", lidar64,

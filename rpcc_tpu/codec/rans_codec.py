@@ -477,6 +477,43 @@ def compress_delta_batch(arrays: Sequence[np.ndarray], lanes: int | None = None)
     return out
 
 
+def build_ctx_container(L: int, T: int, n: int, q0: int, escapes: np.ndarray,
+                        freqs: np.ndarray, states: np.ndarray,
+                        counts: np.ndarray, packed_words: np.ndarray,
+                        dtype) -> bytes:
+    """Assemble a 'C' container from raw pieces (shared by the fused C++
+    and on-device encoders)."""
+    parts = [
+        struct.pack("<BBHIi", MAGIC_CTX, L.bit_length() - 1, T, n, int(q0)),
+        struct.pack("<I", escapes.shape[0]),
+        np.ascontiguousarray(escapes, "<u4").tobytes(),
+    ]
+    for c in range(freqs.shape[0]):
+        parts.append(_pack_table(freqs[c].astype(np.int64)))
+    parts += [
+        np.ascontiguousarray(states, "<u4").tobytes(),
+        np.ascontiguousarray(counts, "<u2").tobytes(),
+        np.ascontiguousarray(packed_words, "<u2").tobytes(),
+        struct.pack("<B", _dtype_code(dtype)),
+    ]
+    return b"".join(parts)
+
+
+def build_bits_container(T: int, H: int, W: int, freqs: np.ndarray,
+                         states: np.ndarray, counts: np.ndarray,
+                         packed_words: np.ndarray) -> bytes:
+    """Assemble an 'N' contour container from raw pieces."""
+    return b"".join(
+        [
+            struct.pack("<BHHH", MAGIC_BITS, T, H, W),
+            np.ascontiguousarray(freqs, "<u2").tobytes(),
+            np.ascontiguousarray(states, "<u4").tobytes(),
+            np.ascontiguousarray(counts, "<u2").tobytes(),
+            np.ascontiguousarray(packed_words, "<u2").tobytes(),
+        ]
+    )
+
+
 def _compress_delta_batch_np(arrays: Sequence[np.ndarray], lanes: int | None = None) -> List[bytes]:
     """numpy/jax-kernel implementation (also runs the bzd comparison)."""
     B = len(arrays)

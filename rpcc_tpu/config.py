@@ -133,6 +133,12 @@ class CodecConfig:
     # the price of <= delta/2 extra reconstruction error (3.1% of the
     # accuracy bound for typical frames).
     transfer_precision: str = "f32"  # 'f32' | 'u16'
+    # Entropy-code the two big fields (residual stream, contour plane) ON
+    # DEVICE (ops/rans_device.py): the engine then downloads ~30 KB of
+    # compressed words per frame instead of the ~200 KB transfer view, and
+    # skips the host entropy encode.  Containers are decoded by the same
+    # host decoders ('rans' coder only; engine path).
+    device_entropy: bool = False
 
     @property
     def uniform(self) -> bool:

@@ -68,6 +68,23 @@ class EncoderOutput(NamedTuple):
     exc_pos: jnp.ndarray  # (EXC_CAP,) i32 stream positions, |q|-descending
     exc_val: jnp.ndarray  # (EXC_CAP,) i16 true values
     exc_count: jnp.ndarray  # () i32 number of live exceptions
+    # On-device entropy coding (cfg.device_entropy, 'rans' only): container
+    # pieces of the residual 'C' and contour 'N' fields — the engine
+    # downloads ~30 KB/frame of compressed words instead of the transfer
+    # views and skips the host entropy encode (ops/rans_device.py).
+    de_res_words: Optional[jnp.ndarray] = None  # (L*T,) u16
+    de_res_nw: Optional[jnp.ndarray] = None  # () i32
+    de_res_counts: Optional[jnp.ndarray] = None  # (L,) i32
+    de_res_states: Optional[jnp.ndarray] = None  # (L,) u32
+    de_res_freqs: Optional[jnp.ndarray] = None  # (C, A) u16
+    de_res_escapes: Optional[jnp.ndarray] = None  # (ESC_CAP_DEV,) u32
+    de_res_nesc: Optional[jnp.ndarray] = None  # () i32
+    de_res_q0: Optional[jnp.ndarray] = None  # () i32
+    de_cnt_words: Optional[jnp.ndarray] = None  # (H*Tc,) u16
+    de_cnt_nw: Optional[jnp.ndarray] = None  # () i32
+    de_cnt_counts: Optional[jnp.ndarray] = None  # (H,) i32
+    de_cnt_states: Optional[jnp.ndarray] = None  # (H,) u32
+    de_cnt_freqs: Optional[jnp.ndarray] = None  # (4, 2) u16
 
 
 # Per-frame capacity of the transfer-exception list (observed ~18 on KITTI;
@@ -217,6 +234,34 @@ def build_encode_fn(
         q8 = jnp.where(is_exc, -128, q).astype(jnp.int8)
 
         code = extract_contour(seg)
+
+        de = {}
+        if cfg.device_entropy and cfg.basic_compressor == "rans":
+            from rpcc_tpu.ops.rans_device import (
+                encode_contour_field_device,
+                encode_residual_field_device,
+            )
+
+            (rw, rnw, rcnt, rst, rfq, resc, rnesc, rq0) = (
+                encode_residual_field_device(q, order.stream_len)
+            )
+            (cw, cnw, ccnt, cst, cfq) = encode_contour_field_device(code.contour)
+            de = dict(
+                de_res_words=rw,
+                de_res_nw=rnw,
+                de_res_counts=rcnt,
+                de_res_states=rst,
+                de_res_freqs=rfq.astype(jnp.uint16),
+                de_res_escapes=resc,
+                de_res_nesc=rnesc,
+                de_res_q0=rq0,
+                de_cnt_words=cw,
+                de_cnt_nw=cnw,
+                de_cnt_counts=ccnt,
+                de_cnt_states=cst,
+                de_cnt_freqs=cfq.astype(jnp.uint16),
+            )
+
         return EncoderOutput(
             range_image=ri,
             seg_idx=seg,
@@ -232,6 +277,7 @@ def build_encode_fn(
             exc_pos=exc_pos.astype(jnp.int32),
             exc_val=exc_val,
             exc_count=exc_count,
+            **de,
         )
 
     return encode

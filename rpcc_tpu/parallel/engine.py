@@ -55,6 +55,7 @@ class _Staged(NamedTuple):
     exc_val_dev: object  # (B, EXC_CAP) i16
     exc_count: "np.ndarray"  # (B,) i32, already materialized
     stream16_dev: object  # (B, HW) i16 — only read on exc_count > EXC_CAP
+    de: object = None  # device-entropy staged pieces (dict) or None
 
 
 class BatchEngine:
@@ -81,6 +82,9 @@ class BatchEngine:
         # device compaction sorts.  transfer_precision='u16' halves the
         # upload again (per-frame grid snap, <= delta/2 extra error).
         self._u16 = cfg.transfer_precision == "u16"
+        # Device entropy: the encoder graph also emits the rANS containers
+        # for the residual/contour fields (cfg.device_entropy, rans only).
+        self._dev_entropy = bool(cfg.device_entropy) and cfg.basic_compressor == "rans"
         self._encode_b = make_batch_encoder(
             lidar, cfg, mesh, from_ri=True, ri_u16=self._u16
         )
@@ -156,9 +160,17 @@ class BatchEngine:
             out = self._encode_b(pts, seeds, self._step_arg, deltas)
         else:
             out = self._encode_b(pts, seeds, self._step_arg)
-        _copy_async(out.stream_len, out.seq_len, out.contour_packed,
-                    out.model_param, out.salience,
-                    out.exc_pos, out.exc_val, out.exc_count)
+        if self._dev_entropy:
+            _copy_async(out.stream_len, out.seq_len, out.model_param,
+                        out.salience, out.de_res_nw, out.de_res_counts,
+                        out.de_res_states, out.de_res_freqs,
+                        out.de_res_escapes, out.de_res_nesc, out.de_res_q0,
+                        out.de_cnt_nw, out.de_cnt_counts, out.de_cnt_states,
+                        out.de_cnt_freqs, out.exc_count)
+        else:
+            _copy_async(out.stream_len, out.seq_len, out.contour_packed,
+                        out.model_param, out.salience,
+                        out.exc_pos, out.exc_val, out.exc_count)
         return out, live
 
     def stage_downloads(self, out, live: int) -> _Staged:
@@ -173,10 +185,35 @@ class BatchEngine:
         # Download only the live prefixes (bucketed so the slice programs
         # stay cached): the padded sequence alone is 8MB/batch for ~12KB of
         # runs, and this rig's download path is an e2e bottleneck.
-        m_stream = _bucket(int(stream_len.max()) if stream_len.size else 1, self.hw)
         m_seq = _bucket(int(seq_len.max()) if seq_len.size else 1, self.hw)
-        stream_dev = out.stream_i8[:, :m_stream]
         seq_dev = out.sequence[:, :m_seq]
+        if self._dev_entropy:
+            # Device entropy: download compressed word prefixes instead of
+            # the residual transfer view / contour plane (~30 KB/frame).
+            res_nw = np.asarray(out.de_res_nw)
+            cnt_nw = np.asarray(out.de_cnt_nw)
+            m_rw = _bucket(int(res_nw.max()) if res_nw.size else 1,
+                           out.de_res_words.shape[1], quantum=2048)
+            m_cw = _bucket(int(cnt_nw.max()) if cnt_nw.size else 1,
+                           out.de_cnt_words.shape[1], quantum=2048)
+            rw_dev = out.de_res_words[:, :m_rw]
+            cw_dev = out.de_cnt_words[:, :m_cw]
+            _copy_async(seq_dev, rw_dev, cw_dev)
+            de = dict(
+                res_nw=res_nw, cnt_nw=cnt_nw, rw_dev=rw_dev, cw_dev=cw_dev,
+                res_counts=out.de_res_counts, res_states=out.de_res_states,
+                res_freqs=out.de_res_freqs, res_escapes=out.de_res_escapes,
+                res_nesc=np.asarray(out.de_res_nesc),
+                res_q0=np.asarray(out.de_res_q0),
+                cnt_counts=out.de_cnt_counts, cnt_states=out.de_cnt_states,
+                cnt_freqs=out.de_cnt_freqs,
+            )
+            return _Staged(live, stream_len, seq_len, None, seq_dev,
+                           None, out.model_param, out.salience,
+                           None, None, np.asarray(out.exc_count),
+                           out.stream, de)
+        m_stream = _bucket(int(stream_len.max()) if stream_len.size else 1, self.hw)
+        stream_dev = out.stream_i8[:, :m_stream]
         _copy_async(stream_dev, seq_dev)
         return _Staged(live, stream_len, seq_len, stream_dev, seq_dev,
                        out.contour_packed, out.model_param, out.salience,
@@ -189,6 +226,8 @@ class BatchEngine:
 
     def finish_staged(self, st: _Staged) -> List[Tuple[bytes, Dict[str, np.ndarray]]]:
         """Pipeline stage 3: materialize host copies, entropy-code, frame."""
+        if st.de is not None:
+            return self._finish_device_entropy(st)
         live, stream_len, seq_len = st.live, st.stream_len, st.seq_len
         if (st.exc_count[:live] > EXC_CAP).any():
             # Degenerate content (>EXC_CAP residuals beyond |127| in one
@@ -250,6 +289,76 @@ class BatchEngine:
                 compressed["residual_quantized"] = resid_blobs[i]
                 compressed["contour_map"] = contour_blobs[i]
                 compressed["idx_sequence"] = seq_blobs[i]
+            return pack_bitstream(compressed, uniform=self.cfg.uniform), fields
+
+        return list(self._pool.map(one, range(live)))
+
+    def _finish_device_entropy(self, st: _Staged) -> List[Tuple[bytes, Dict[str, np.ndarray]]]:
+        """Assemble containers from device-encoded pieces (cfg.device_entropy):
+        no residual/contour downloads, no host entropy encode.  The fields
+        dict carries only the host-visible fields (models, idx_sequence,
+        salience)."""
+        from rpcc_tpu.codec import rans_codec
+        from rpcc_tpu.ops.rans_device import ESC_CAP_DEV, RESID_LANES
+
+        live, stream_len, seq_len = st.live, st.stream_len, st.seq_len
+        de = st.de
+        seq = np.asarray(st.seq_dev)
+        models = np.asarray(st.models_dev)
+        salience = None if st.salience_dev is None else np.asarray(st.salience_dev)
+        rw = np.asarray(de["rw_dev"])
+        cw = np.asarray(de["cw_dev"])
+        res_counts = np.asarray(de["res_counts"])
+        res_states = np.asarray(de["res_states"])
+        res_freqs = np.asarray(de["res_freqs"])
+        res_escapes = np.asarray(de["res_escapes"])
+        cnt_counts = np.asarray(de["cnt_counts"])
+        cnt_states = np.asarray(de["cnt_states"])
+        cnt_freqs = np.asarray(de["cnt_freqs"])
+        L = RESID_LANES
+        T_res = -(-self.hw // L)
+        T_res = -(-T_res // 16) * 16
+        T_cnt = -(-(self.W + self.H - 1) // 16) * 16
+
+        def one(i: int) -> Tuple[bytes, Dict[str, np.ndarray]]:
+            n = int(stream_len[i])
+            n_esc = int(de["res_nesc"][i])
+            if n_esc > ESC_CAP_DEV:
+                # escape overflow: host-code this frame from the i16 stream
+                q16 = np.asarray(st.stream16_dev[i])[:n].astype(np.int16)
+                resid_blob = rans_codec.compress_delta_batch([q16])[0]
+            else:
+                resid_blob = rans_codec.build_ctx_container(
+                    L, T_res, n, int(de["res_q0"][i]),
+                    res_escapes[i, :n_esc], res_freqs[i].astype(np.int64),
+                    res_states[i], res_counts[i].astype(np.uint16),
+                    rw[i, : int(de["res_nw"][i])], np.int16,
+                )
+                if n <= rans_codec.BZD_TRY_MAX_SYMBOLS:
+                    # Small frames: bzip2-over-delta often wins — keep the
+                    # host adaptive pick (downloads <=64 KB; production-size
+                    # frames never take this branch).
+                    q16 = np.asarray(st.stream16_dev[i])[:n].astype(np.int16)
+                    host_blob = rans_codec.compress_delta_batch([q16])[0]
+                    resid_blob = min(resid_blob, host_blob, key=len)
+            cnt_blob = rans_codec.build_bits_container(
+                T_cnt, self.H, self.W, cnt_freqs[i], cnt_states[i],
+                cnt_counts[i].astype(np.uint16), cw[i, : int(de["cnt_nw"][i])],
+            )
+            fields = {
+                "idx_sequence": seq[i, : seq_len[i]],
+                "plane_param": models[i].astype(np.float32),
+            }
+            if salience is not None:
+                fields["salience_level"] = salience[i].astype(np.uint8)
+            compressed = self.entropy.compress_dict(
+                {k: v for k, v in fields.items() if k != "idx_sequence"}
+            )
+            compressed["residual_quantized"] = resid_blob
+            compressed["contour_map"] = cnt_blob
+            compressed["idx_sequence"] = rans_codec.compress_seq_u16(
+                seq[i, : seq_len[i]]
+            )
             return pack_bitstream(compressed, uniform=self.cfg.uniform), fields
 
         return list(self._pool.map(one, range(live)))

@@ -36,6 +36,31 @@ def test_engine_sharded_roundtrip_over_mesh():
     assert len(res16) == 8 and all(len(b) > 0 for b, _ in res16)
 
 
+def test_engine_device_entropy_roundtrip_and_rate():
+    """device_entropy=True: the residual/contour fields are rANS-coded on
+    device; blobs must decode exactly like host-coded ones and the rate must
+    match the host coder within a fraction of a percent (identical models,
+    live-aware lanes)."""
+    cfg_dev = CodecConfig(cluster_num=16, device_entropy=True)
+    cfg_host = CodecConfig(cluster_num=16)
+    e_dev = BatchEngine(SMALL, cfg_dev, batch_size=4, workers=2)
+    e_host = BatchEngine(SMALL, cfg_host, batch_size=4, workers=2)
+    clouds = [synth_scene(seed=s) for s in range(4)]
+
+    res_dev = e_dev.encode_frames(clouds, seeds=range(4))
+    res_host = e_host.encode_frames(clouds, seeds=range(4))
+    for (bd, _), (bh, _) in zip(res_dev, res_host):
+        assert abs(len(bd) - len(bh)) / len(bh) < 0.02, (len(bd), len(bh))
+
+    # decode device-encoded blobs with the ordinary engine decoder
+    decoded = e_host.decode_blobs([b for b, _ in res_dev])
+    out, _ = e_host.encode_batch_device(clouds, seeds=range(4))
+    ri = np.asarray(out.range_image)
+    for i in range(4):
+        rec_ri = np.linalg.norm(decoded[i], axis=-1)
+        assert np.abs(rec_ri - ri[i]).max() <= cfg_host.step + 1e-5
+
+
 def test_engine_u16_transfer_mode_bounds_and_roundtrip():
     """transfer_precision='u16' halves upload bytes; reconstruction error
     must stay within accuracy + delta/2 of the TRUE (f32) range image, and
