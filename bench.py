@@ -299,7 +299,7 @@ def main() -> None:
                 yield [load_pc(f) for f in chunk], range(s, s + len(chunk))
 
         name_chunks = [files[s : s + BATCH] for s in range(0, len(files), BATCH)]
-        for chunk, results in zip(name_chunks, engine1.encode_pipeline(dl_gen())):
+        for chunk, results in zip(name_chunks, engine_de.encode_pipeline(dl_gen())):
             for (blob, _f), name in zip(results, chunk):
                 with open(output_path_for(name, td + "/out", "rpcc"), "wb") as f:
                     f.write(blob)
@@ -312,6 +312,8 @@ def main() -> None:
             "unit": "frames/s/chip",
             "vs_baseline": round(dl_fps / BASELINE_FPS, 3),
             "frames": done,
+            "transfer": "u16",
+            "entropy": "device",
             "chips": n_chips,
         }
     )

@@ -25,6 +25,14 @@ def add_codec_args(parser: argparse.ArgumentParser, datalist: bool = False) -> N
             "--keep_going", action="store_true",
             help="failure isolation: log per-frame errors and continue.",
         )
+        parser.add_argument(
+            "--transfer_precision", choices=("f32", "u16"), default=None,
+            help="u16 halves host<->device bytes (<= accuracy/16 extra error).",
+        )
+        parser.add_argument(
+            "--device_entropy", action="store_true",
+            help="rANS-code residual/contour ON device (rans coder only).",
+        )
     else:
         parser.add_argument("--input", help="single frame input for static compression.")
         parser.add_argument("--output", help="output bitstream.")
@@ -78,6 +86,10 @@ def config_from_args(args: argparse.Namespace) -> CodecConfig:
         # Reference parity: --cpu also switches FPS to the filtered-set
         # semantics of the CPU branch (utils/segment_utils.py:120-124).
         cfg = cfg.replace(cpu_fps=True)
+    if getattr(args, "transfer_precision", None):
+        cfg = cfg.replace(transfer_precision=args.transfer_precision)
+    if getattr(args, "device_entropy", False):
+        cfg = cfg.replace(device_entropy=True)
     return cfg
 
 
