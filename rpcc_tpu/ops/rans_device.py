@@ -29,8 +29,11 @@ import jax.numpy as jnp
 
 from rpcc_tpu.ops.rans import M, PROB_BITS, normalize_freqs
 
-RANS_L = jnp.uint32(1 << 16)
-_U16 = jnp.uint32(0xFFFF)
+# Plain python ints (weak-typed): module-level jnp scalars would be device
+# buffers shared across traces, which tickles executable-arg mismatches on
+# multi-device test backends.
+RANS_L = 1 << 16
+_U16 = 0xFFFF
 
 
 def _recip_table(max_f: int = 1 << PROB_BITS) -> np.ndarray:

@@ -61,6 +61,23 @@ def test_engine_device_entropy_roundtrip_and_rate():
         assert np.abs(rec_ri - ri[i]).max() <= cfg_host.step + 1e-5
 
 
+def test_engine_device_entropy_nonuniform_roundtrip():
+    """device_entropy under the non-uniform (salience) framework: blobs must
+    decode within the per-level bound."""
+    cfg = CodecConfig(cluster_num=16, device_entropy=True,
+                      compress_framework="non-uniform")
+    engine = BatchEngine(SMALL, cfg, batch_size=2, workers=2)
+    clouds = [synth_scene(seed=s) for s in range(2)]
+    results = engine.encode_frames(clouds, seeds=range(2))
+    decoded = engine.decode_blobs([b for b, _ in results])
+    out, _ = engine.encode_batch_device(clouds, seeds=range(2))
+    ri = np.asarray(out.range_image)
+    bound = cfg.step + max(cfg.level_delta_acc) + 1e-5
+    for i in range(2):
+        rec_ri = np.linalg.norm(decoded[i], axis=-1)
+        assert np.abs(rec_ri - ri[i]).max() <= bound
+
+
 def test_engine_u16_transfer_mode_bounds_and_roundtrip():
     """transfer_precision='u16' halves upload bytes; reconstruction error
     must stay within accuracy + delta/2 of the TRUE (f32) range image, and
