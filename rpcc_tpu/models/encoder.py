@@ -224,14 +224,19 @@ def build_encode_fn(
         q = jnp.where(live, q, 0)
 
         # Transfer compression of the residual stream: i8 body + top_k
-        # exception list (one partial sort over |q|, no scatters).
+        # exception list (one partial sort over |q|, no scatters).  With
+        # device entropy the stream is never downloaded raw — skip the pass.
+        dev_entropy = cfg.device_entropy and cfg.basic_compressor == "rans"
         q16 = q.astype(jnp.int16)
-        absq = jnp.abs(q)
-        is_exc = absq > 127
-        exc_count = is_exc.sum().astype(jnp.int32)
-        _, exc_pos = jax.lax.top_k(absq, EXC_CAP)  # exceptions sort first
-        exc_val = q16[exc_pos]
-        q8 = jnp.where(is_exc, -128, q).astype(jnp.int8)
+        if dev_entropy:
+            exc_count = exc_pos = exc_val = q8 = None
+        else:
+            absq = jnp.abs(q)
+            is_exc = absq > 127
+            exc_count = is_exc.sum().astype(jnp.int32)
+            _, exc_pos = jax.lax.top_k(absq, EXC_CAP)  # exceptions sort first
+            exc_val = q16[exc_pos]
+            q8 = jnp.where(is_exc, -128, q).astype(jnp.int8)
 
         code = extract_contour(seg)
 
@@ -274,7 +279,7 @@ def build_encode_fn(
             salience=salience,
             key_point_map=kp_map,
             stream_i8=q8,
-            exc_pos=exc_pos.astype(jnp.int32),
+            exc_pos=None if exc_pos is None else exc_pos.astype(jnp.int32),
             exc_val=exc_val,
             exc_count=exc_count,
             **de,

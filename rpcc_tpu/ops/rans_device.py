@@ -122,34 +122,6 @@ def _expand_sorted_runs(vals_by_key: jnp.ndarray, bounds: jnp.ndarray, n: int):
     return jnp.cumsum(base)
 
 
-def lookup_tables_sorted(key: jnp.ndarray, freqs_flat: jnp.ndarray,
-                         cums_flat: jnp.ndarray, recip_flat: jnp.ndarray):
-    """Per-position (f, c, recip) for (n,) i32 keys into (K,) tables — two
-    sorts instead of n serialized gathers."""
-    n = key.shape[0]
-    K = freqs_flat.shape[0]
-    iota = jnp.arange(n, dtype=jnp.int32)
-    key_s, pos_s = jax.lax.sort((key, iota), num_keys=1, is_stable=True)
-    bounds = jnp.searchsorted(key_s, jnp.arange(K + 1, dtype=jnp.int32))
-    f_s = _expand_sorted_runs(freqs_flat, bounds, n)
-    c_s = _expand_sorted_runs(cums_flat, bounds, n)
-    r_s = _expand_sorted_runs(recip_flat, bounds, n)
-    # sort back by original position, carrying all three
-    _, f_o, c_o, r_o = jax.lax.sort((pos_s, f_s, c_s, r_s), num_keys=1)
-    return (
-        f_o.astype(jnp.uint32),
-        c_o.astype(jnp.uint32),
-        r_o.astype(jnp.uint32),
-    )
-
-
-def histogram_sorted(key: jnp.ndarray, num_bins: int) -> jnp.ndarray:
-    """(n,) i32 keys -> (num_bins,) counts via one sort + searchsorted."""
-    key_s = jax.lax.sort(key)
-    bounds = jnp.searchsorted(key_s, jnp.arange(num_bins + 1, dtype=jnp.int32))
-    return (bounds[1:] - bounds[:-1]).astype(jnp.int32)
-
-
 def encode_field_device(sym3d: jnp.ndarray, ctx3d: jnp.ndarray, alphabet: int,
                         num_ctx: int, small_tables: bool = False,
                         n_live=None):
@@ -175,15 +147,22 @@ def encode_field_device(sym3d: jnp.ndarray, ctx3d: jnp.ndarray, alphabet: int,
         )
 
     # Histogram over the LIVE stream + bit-exact normalize (the spec
-    # semantics shared with ops/rans.py and rans.cpp).
-    dead_key = num_ctx * alphabet
-    key_h = jnp.where(live_mask, key, dead_key)
+    # semantics shared with ops/rans.py and rans.cpp).  The big-alphabet
+    # path shares ONE sorted key array between the histogram and the table
+    # lookups (dead positions carry the K bin and sort to the end, so bins
+    # [0, K) are unaffected).
+    K = num_ctx * alphabet
+    key_h = jnp.where(live_mask, key, K)
     if small_tables:
         counts_h = jnp.stack(
-            [(key_h == k).sum() for k in range(num_ctx * alphabet)]
+            [(key_h == k).sum() for k in range(K)]
         ).astype(jnp.int32)
+        bounds = pos_s = None
     else:
-        counts_h = histogram_sorted(key_h, num_ctx * alphabet + 1)[:-1]
+        iota = jnp.arange(n, dtype=jnp.int32)
+        key_s, pos_s = jax.lax.sort((key_h, iota), num_keys=1, is_stable=True)
+        bounds = jnp.searchsorted(key_s, jnp.arange(K + 2, dtype=jnp.int32))
+        counts_h = (bounds[1:-1] - bounds[:-2]).astype(jnp.int32)
     freqs = jax.vmap(normalize_freqs)(counts_h.reshape(num_ctx, alphabet))
     freqs_flat = freqs.reshape(-1)
     cums2 = jnp.concatenate(
@@ -194,7 +173,6 @@ def encode_field_device(sym3d: jnp.ndarray, ctx3d: jnp.ndarray, alphabet: int,
     recip_flat = recip_np[jnp.clip(freqs_flat, 0, M)]  # (K,) gather: K=2048 max
 
     if small_tables:
-        K = num_ctx * alphabet
         key2 = key.reshape(L, T)
         f_all = jnp.zeros((L, T), jnp.uint32)
         c_all = jnp.zeros((L, T), jnp.uint32)
@@ -205,12 +183,16 @@ def encode_field_device(sym3d: jnp.ndarray, ctx3d: jnp.ndarray, alphabet: int,
             c_all = jnp.where(m, cums_flat[k].astype(jnp.uint32), c_all)
             r_all = jnp.where(m, recip_flat[k].astype(jnp.uint32), r_all)
     else:
-        f_flat, c_flat, r_flat = lookup_tables_sorted(
-            key, freqs_flat, cums_flat, recip_flat
-        )
-        f_all = f_flat.reshape(L, T)
-        c_all = c_flat.reshape(L, T)
-        r_all = r_flat.reshape(L, T)
+        # expand per-key table values over the shared sorted runs, then
+        # sort back by position (dead tail gets the last bin's value —
+        # masked out of the scan anyway)
+        f_s = _expand_sorted_runs(freqs_flat, bounds[: K + 1], n)
+        c_s = _expand_sorted_runs(cums_flat, bounds[: K + 1], n)
+        r_s = _expand_sorted_runs(recip_flat, bounds[: K + 1], n)
+        _, f_o, c_o, r_o = jax.lax.sort((pos_s, f_s, c_s, r_s), num_keys=1)
+        f_all = f_o.astype(jnp.uint32).reshape(L, T)
+        c_all = c_o.astype(jnp.uint32).reshape(L, T)
+        r_all = r_o.astype(jnp.uint32).reshape(L, T)
 
     # Renorm walk in reverse symbol order (live-aware).
     rev = slice(None, None, -1)

@@ -210,7 +210,7 @@ class BatchEngine:
             )
             return _Staged(live, stream_len, seq_len, None, seq_dev,
                            None, out.model_param, out.salience,
-                           None, None, np.asarray(out.exc_count),
+                           None, None, None,
                            out.stream, de)
         m_stream = _bucket(int(stream_len.max()) if stream_len.size else 1, self.hw)
         stream_dev = out.stream_i8[:, :m_stream]
