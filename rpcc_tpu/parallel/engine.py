@@ -1,20 +1,21 @@
 """Batched throughput engine: device frame batches + host entropy pool.
 
 The dataset-scale path (``compress_datalist`` / ``decompress_datalist``):
-frames are stacked into fixed-shape (B, N, 3) batches, encoded by one sharded
-XLA program, and the byte-level entropy stage runs on a host thread pool
-(stdlib codecs release the GIL) overlapped with the next device batch via
-JAX's async dispatch.
+frames are host-projected into fixed-shape (B, H, W) range-image batches
+(f32, or u16+delta in u16 transfer mode), encoded by one sharded XLA
+program, and the byte-level stages run on host threads overlapped with the
+next device batch via JAX's async dispatch.  With ``cfg.device_entropy``
+the big fields come back as finished rANS containers instead.
 
-Three explicit pipeline stages keep the host<->device link saturated
-(``encode_pipeline`` runs them 3-deep — while batch k uploads, batch k-1's
-live-prefix downloads stream back and batch k-2 entropy-codes):
+Three pipeline stages on three threads keep the host<->device link
+saturated (``encode_pipeline``):
 
-  1. ``encode_batch_device``  stack + upload + dispatch; queue async host
-     copies of every fixed-size output (never a blocking sync per batch).
-  2. ``stage_downloads``      read the live lengths (tiny arrays, ready when
-     the device finishes), slice the live prefixes, queue their async copies.
-  3. ``finish_staged``        materialize + entropy-code + frame.
+  1. ``encode_batch_device``  (uploader thread) stack + upload + dispatch;
+     queue async host copies of every fixed-size output.
+  2. ``stage_downloads``      (downloader thread) wait for the device, then
+     bucket + queue the async live-prefix copies.
+  3. ``finish_staged``        (caller thread) materialize, entropy-code,
+     frame.
 """
 
 from __future__ import annotations
@@ -22,7 +23,6 @@ from __future__ import annotations
 import concurrent.futures as futures
 from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
-import jax
 import numpy as np
 
 from rpcc_tpu.codec.bitstream import pack_bitstream, unpack_bitstream
@@ -30,6 +30,8 @@ from rpcc_tpu.codec.entropy import BasicCompressor
 from rpcc_tpu.config import CodecConfig, LidarConfig
 from rpcc_tpu.models.decoder import make_batch_decoder
 from rpcc_tpu.models.encoder import EXC_CAP, make_batch_encoder
+
+
 def _bucket(n: int, cap: int, quantum: int = 8192) -> int:
     """Round a live length up to a transfer bucket (bounded slice variants)."""
     return min(cap, max(quantum, -(-n // quantum) * quantum))
