@@ -179,15 +179,23 @@ def main() -> None:
     )
     emit(head)
 
-    # ---- decode (config 1 blobs; distinct frames, pipelined)
-    var_results = engine1.encode_frames(
-        [v for v in _jittered_variants(pc, 8) for _ in range(4)], seeds=range(BATCH)
-    )
-    var_blobs = [b for b, _ in var_results]
-    engine1.decode_blobs(var_blobs)  # warm
+    # ---- decode (config 1 blobs; distinct frames AND distinct batches, so
+    # transfer caching can't flatter the numbers — same methodology as the
+    # encode windows)
+    def _blob_batches(engine, k=3):
+        clouds = [v for v in _jittered_variants(pc, 8) for _ in range(4)][:BATCH]
+        return [
+            [b for b, _ in engine.encode_frames(clouds, seeds=range(j * BATCH, (j + 1) * BATCH))]
+            for j in range(k)  # different seeds -> different bitstreams
+        ]
+
+    dec_batches = _blob_batches(engine1)
+    engine1.decode_blobs(dec_batches[0])  # warm
     reps = 8
     t0 = time.perf_counter()
-    for recs in engine1.decode_pipeline([var_blobs] * reps):
+    for recs in engine1.decode_pipeline(
+        [dec_batches[k % len(dec_batches)] for k in range(reps)]
+    ):
         pass
     dec_e2e = reps * BATCH / (time.perf_counter() - t0) / n_chips
     recs0 = engine1.decode_blobs([blob1])
@@ -214,13 +222,12 @@ def main() -> None:
         extra={"transfer": "u16"},
     )
     emit(line)
-    var16 = engine16.encode_frames(
-        [v for v in _jittered_variants(pc, 8) for _ in range(4)], seeds=range(BATCH)
-    )
-    blobs16 = [b for b, _ in var16]
-    engine16.decode_blobs(blobs16)  # warm
+    dec16_batches = _blob_batches(engine16)
+    engine16.decode_blobs(dec16_batches[0])  # warm
     t0 = time.perf_counter()
-    for recs in engine16.decode_pipeline([blobs16] * reps):
+    for recs in engine16.decode_pipeline(
+        [dec16_batches[k % len(dec16_batches)] for k in range(reps)]
+    ):
         pass
     dec16 = reps * BATCH / (time.perf_counter() - t0) / n_chips
     rec16 = np.linalg.norm(engine16.decode_blobs([blob16])[0], axis=-1)

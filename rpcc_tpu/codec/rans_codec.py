@@ -262,7 +262,6 @@ def _compress_bits_batch(packed_list: Sequence[np.ndarray], H: int, W: int) -> L
     above[:, 1:, 1:] = sym[:, :-1, :-1]
     ctx = 2 * above + left
     ctx[:, :, 0] = 0
-    nat = _native()
     if nat is not None:
         words_np, counts_np, states_raw, freqs_raw = nat.encode_ctx_batch(sym, ctx, 2, 4)
         freqs_np = freqs_raw.astype("<u2")
@@ -438,7 +437,8 @@ def compress_delta_batch(arrays: Sequence[np.ndarray], lanes: int | None = None)
     big_ix = [
         i for i, a in enumerate(arrays) if np.asarray(a).size > BZD_TRY_MAX_SYMBOLS
     ]
-    small_ix = [i for i in range(B) if i not in set(big_ix)]
+    big_set = set(big_ix)
+    small_ix = [i for i in range(B) if i not in big_set]
     if small_ix:
         for i, blob in zip(
             small_ix, _compress_delta_batch_np([arrays[i] for i in small_ix], lanes)
@@ -626,8 +626,19 @@ def decompress_delta_batch(blobs: Sequence[bytes]) -> List[bytes]:
     parsed = [_parse_delta(b) for b in blobs]
     magic = parsed[0][0]
     lanes = parsed[0][1]
-    assert all(p[0] == magic for p in parsed), "mixed container versions"
-    assert all(p[1] == lanes for p in parsed), "mixed lane counts in one batch"
+    if not all(p[0] == magic and p[1] == lanes for p in parsed):
+        # Mixed container versions / lane counts in one batch (e.g. a tiny
+        # frame got a group-local lane count next to full frames): decode
+        # homogeneous sub-batches and reassemble in order.
+        out = [None] * B
+        groups: dict = {}
+        for i, p in enumerate(parsed):
+            groups.setdefault((p[0], p[1]), []).append(i)
+        for ix in groups.values():
+            sub = decompress_delta_batch([blobs[i] for i in ix])
+            for j, i in enumerate(ix):
+                out[i] = sub[j]
+        return out
     T_max = max(p[2] for p in parsed)
     words = np.zeros((B, lanes, T_max), np.uint16)
     counts = np.zeros((B, lanes), np.int32)

@@ -44,7 +44,16 @@ from rpcc_tpu.ops.stream import (
 def num_model_rows(cfg: CodecConfig) -> int:
     """Model-table rows: FPS = ground + zero-class + K clusters; DBSCAN adds
     the noise class (ids 0,1,2=noise,3..K+2)."""
-    return cfg.cluster_num + (3 if cfg.segment_method == "DBSCAN" else 2)
+    rows = cfg.cluster_num + (3 if cfg.segment_method == "DBSCAN" else 2)
+    # Seg ids ride a 12-bit field in the packed contour-sequence sort
+    # (ops/stream.py::compact_flagged_small); beyond it they would silently
+    # corrupt the idx_sequence bitstream.
+    if rows >= (1 << 12):
+        raise ValueError(
+            f"cluster_num={cfg.cluster_num} needs {rows} model ids, over the "
+            f"codec's 4095-id limit"
+        )
+    return rows
 
 
 class EncoderOutput(NamedTuple):

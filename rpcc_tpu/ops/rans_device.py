@@ -225,6 +225,20 @@ ESC_CAP_DEV = 512  # per-frame escape capacity; overflow -> host fallback
 ALPHABET = 512
 ESCAPE = ALPHABET - 1
 NUM_CTX = 4
+_T_BUCKET = 16  # = codec/rans_codec.py T_BUCKET (container steps-per-lane)
+
+
+def resid_T(hw: int) -> int:
+    """Steps per lane of the device residual container for an HW-pixel grid
+    — the single source the engine's container assembly must agree with."""
+    t = -(-hw // RESID_LANES)
+    return -(-t // _T_BUCKET) * _T_BUCKET
+
+
+def contour_T(H: int, W: int) -> int:
+    """Steps per lane of the wavefront contour container (geometry-fixed,
+    matches rans_codec._compress_bits_batch)."""
+    return -(-(W + H - 1) // _T_BUCKET) * _T_BUCKET
 
 
 def _zigzag_ctx(sym3d: jnp.ndarray) -> jnp.ndarray:
@@ -247,8 +261,7 @@ def encode_residual_field_device(q: jnp.ndarray, stream_len: jnp.ndarray):
     """
     hw = q.shape[0]
     L = RESID_LANES
-    T = -(-hw // L)
-    T = -(-T // 16) * 16
+    T = resid_T(hw)
     iota = jnp.arange(hw, dtype=jnp.int32)
     live = iota < stream_len
     prev = jnp.concatenate([jnp.zeros((1,), q.dtype), q[:-1]])
@@ -288,7 +301,7 @@ def encode_contour_field_device(contour: jnp.ndarray):
     wavefront, 4-context binary model) — byte-identical to the host path
     (geometry-determined T, so no padding drift)."""
     H, W = contour.shape
-    T = -(-(W + H - 1) // 16) * 16
+    T = contour_T(H, W)
     sym3d = _wavefront_shear(contour.astype(jnp.int32), T)
     left = jnp.concatenate([jnp.zeros((H, 1), jnp.int32), sym3d[:, :-1]], axis=1)
     above = jnp.zeros_like(sym3d)

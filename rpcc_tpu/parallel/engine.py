@@ -301,7 +301,12 @@ class BatchEngine:
         dict carries only the host-visible fields (models, idx_sequence,
         salience)."""
         from rpcc_tpu.codec import rans_codec
-        from rpcc_tpu.ops.rans_device import ESC_CAP_DEV, RESID_LANES
+        from rpcc_tpu.ops.rans_device import (
+            ESC_CAP_DEV,
+            RESID_LANES,
+            contour_T,
+            resid_T,
+        )
 
         live, stream_len, seq_len = st.live, st.stream_len, st.seq_len
         de = st.de
@@ -318,9 +323,8 @@ class BatchEngine:
         cnt_states = np.asarray(de["cnt_states"])
         cnt_freqs = np.asarray(de["cnt_freqs"])
         L = RESID_LANES
-        T_res = -(-self.hw // L)
-        T_res = -(-T_res // 16) * 16
-        T_cnt = -(-(self.W + self.H - 1) // 16) * 16
+        T_res = resid_T(self.hw)
+        T_cnt = contour_T(self.H, self.W)
 
         def one(i: int) -> Tuple[bytes, Dict[str, np.ndarray]]:
             n = int(stream_len[i])

@@ -212,3 +212,18 @@ def test_fused_native_contour_containers_byte_identical():
     for i, (f, p) in enumerate(zip(fused, plain)):
         assert f == p, f"contour {i} differs"
         assert rc.decompress_contour_batch([f])[0] == pk[i].tobytes()
+
+
+def test_mixed_lane_batch_decodes():
+    """A tiny frame next to a full frame gets a group-local lane count; the
+    batch decoder must handle the mixed-lane batch (sub-batch regrouping)."""
+    from rpcc_tpu.codec import rans_codec as rc
+
+    rng = np.random.default_rng(3)
+    tiny = np.asarray([123, 124, 120], np.int16)
+    big = np.cumsum(rng.integers(-3, 4, 40000)).astype(np.int16)
+    blobs = rc.compress_delta_batch([tiny, big, tiny])
+    out = rc.decompress_delta_batch(blobs)
+    assert out[0] == tiny.tobytes()
+    assert out[1] == big.tobytes()
+    assert out[2] == tiny.tobytes()
