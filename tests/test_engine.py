@@ -78,6 +78,29 @@ def test_engine_device_entropy_nonuniform_roundtrip():
         assert np.abs(rec_ri - ri[i]).max() <= bound
 
 
+def test_engine_config_combo_matrix():
+    """Smoke the knob combinations the dedicated tests don't pair: plane and
+    DBSCAN modes under device_entropy + u16 transfer."""
+    import pytest
+
+    combos = [
+        dict(modeling_method="plane", device_entropy=True, transfer_precision="u16"),
+        dict(segment_method="DBSCAN", device_entropy=True),
+        dict(modeling_method="plane", transfer_precision="u16"),
+    ]
+    clouds = [synth_scene(seed=s) for s in range(2)]
+    for kw in combos:
+        cfg = CodecConfig(cluster_num=16, **kw)
+        engine = BatchEngine(SMALL, cfg, batch_size=2, workers=2)
+        results = engine.encode_frames(clouds, seeds=range(2))
+        decoded = engine.decode_blobs([b for b, _ in results])
+        out, _ = engine.encode_batch_device(clouds, seeds=range(2))
+        ri = np.asarray(out.range_image)
+        for i in range(2):
+            rec_ri = np.linalg.norm(decoded[i], axis=-1)
+            assert np.abs(rec_ri - ri[i]).max() <= cfg.step + 1e-5, kw
+
+
 def test_engine_u16_transfer_mode_bounds_and_roundtrip():
     """transfer_precision='u16' halves upload bytes; reconstruction error
     must stay within accuracy + delta/2 of the TRUE (f32) range image, and
