@@ -26,14 +26,17 @@ def test_engine_sharded_roundtrip_over_mesh():
         rec_ri = np.linalg.norm(decoded[i], axis=-1)
         assert np.abs(rec_ri - ri[i]).max() <= cfg.step + 1e-5
 
-    # u16 transfer mode must also compile/run over the mesh (sharded (B,)
-    # delta input alongside the (B, H, W) u16 batch).
+    # The flagship production config (u16 transfer + device entropy) must
+    # also compile/run over the mesh and roundtrip.
     e16 = BatchEngine(
-        SMALL, CodecConfig(cluster_num=16, transfer_precision="u16"),
+        SMALL,
+        CodecConfig(cluster_num=16, transfer_precision="u16", device_entropy=True),
         batch_size=8, mesh=mesh, workers=2,
     )
     res16 = e16.encode_frames(clouds, seeds=range(8))
     assert len(res16) == 8 and all(len(b) > 0 for b, _ in res16)
+    dec16 = e16.decode_blobs([b for b, _ in res16])
+    assert len(dec16) == 8
 
 
 def test_engine_device_entropy_roundtrip_and_rate():
