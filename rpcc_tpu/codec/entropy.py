@@ -136,3 +136,35 @@ def lz4_decompress(blob: bytes) -> bytes:
 
     (n,) = struct.unpack("<I", blob[:4])
     return lz4block.decompress_block(blob[4:], n)
+
+
+if __name__ == "__main__":
+    # Coder self-benchmark (reference parity: the BasicCompressor __main__
+    # block at utils/compress_utils.py:313-342): roundtrip + relative speed
+    # of every pluggable byte codec on a range-image-sized random array.
+    import time as _time
+
+    import numpy as _np
+
+    rand_array = _np.random.randint(50, size=(64, 2000)).astype(_np.int8)
+    rand_bytes = rand_array.tobytes()
+    repeat_time = 100
+
+    bc = BasicCompressor()
+    for method in ("lz4", "bzip2", "gzip", "deflate", "rans"):
+        print("\nTest ", method)
+        bc.set_method(method)
+        t0 = _time.time()
+        for _ in range(repeat_time):
+            compressed_data = bc.compress(rand_array)
+        t1 = _time.time()
+        for _ in range(repeat_time):
+            decompressed_data = bc.decompress(compressed_data)
+        print(
+            "%d times compress cost time: %.04f, decompress cost time: %.04f"
+            % (repeat_time, t1 - t0, _time.time() - t1)
+        )
+        print("Compression rate: ", len(rand_bytes) / len(compressed_data))
+        recovered = _np.ndarray(shape=(64, 2000), dtype=_np.int8, buffer=decompressed_data)
+        assert _np.array_equal(recovered, rand_array), "%s is not working." % method
+    print("All compression methods are working.")
