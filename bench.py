@@ -31,7 +31,7 @@ sys.path.insert(0, REPO)
 
 BASELINE_FPS = 5.0
 EXAMPLE = "/root/reference/assets/example_data/example.bin"
-BATCH = 32  # amortizes per-call dispatch latency
+BATCH = 64  # amortizes per-call dispatch/roundtrip latency (A/B: +11-18% vs 32)
 BATCHES_TIMED = 6
 WALL_WINDOW_S = 45.0
 
