@@ -207,10 +207,12 @@ void rans_decode_ctx_batch(const uint16_t* words, const int32_t* counts,
 //
 // q_ptrs[b] points at lens[b] elements of dtype dtypes[b] (0=i16, 1=u16,
 // 2=i32).  Symbols are the zigzag of the first-difference with zz >=
-// ESCAPE(A-1) folded to the escape symbol; the padded (L, T) stream is
-// zero-tailed and the histogram runs over the FULL padded stream (both
-// exactly as the numpy path).  esc_counts[b] = -1 signals escape-capacity
-// overflow (caller falls back to the numpy path for that frame).
+// ESCAPE(A-1) folded to the escape symbol; lanes are live-aware: the
+// histogram and the coded symbols cover only the LIVE prefix (tail padding
+// is never modeled or coded), exactly as the numpy path with
+// encode_streams_batch_ctx(ns=...).  esc_counts[b] = -1 signals
+// escape-capacity overflow (caller falls back to the numpy path for that
+// frame).
 void rans_delta_encode_frames(
     const uint64_t* q_ptrs, const uint8_t* dtypes, const int64_t* lens,
     int B, int L, int T, int C, int A, int esc_cap,

@@ -483,6 +483,11 @@ def build_ctx_container(L: int, T: int, n: int, q0: int, escapes: np.ndarray,
                         dtype) -> bytes:
     """Assemble a 'C' container from raw pieces (shared by the fused C++
     and on-device encoders)."""
+    # Per-lane word counts ride the wire as u16: a T beyond 0xFFFF (grid
+    # over ~2.1M pixels at 32 lanes) would silently wrap into an
+    # undecodable container — fail loudly instead.
+    if T > 0xFFFF:
+        raise ValueError(f"ctx container lane length T={T} overflows u16")
     parts = [
         struct.pack("<BBHIi", MAGIC_CTX, L.bit_length() - 1, T, n, int(q0)),
         struct.pack("<I", escapes.shape[0]),
@@ -503,6 +508,8 @@ def build_bits_container(T: int, H: int, W: int, freqs: np.ndarray,
                          states: np.ndarray, counts: np.ndarray,
                          packed_words: np.ndarray) -> bytes:
     """Assemble an 'N' contour container from raw pieces."""
+    if T > 0xFFFF:
+        raise ValueError(f"bits container lane length T={T} overflows u16")
     return b"".join(
         [
             struct.pack("<BHHH", MAGIC_BITS, T, H, W),

@@ -298,7 +298,9 @@ def project_points_host(points: np.ndarray, lidar: LidarConfig) -> np.ndarray:
         import ctypes as ct
 
         pts = np.asarray(points, np.float32)
-        if pts.ndim != 2 or pts.shape[1] < 3 or pts.strides[1] != 4:
+        if pts.ndim != 2 or pts.shape[1] < 3:
+            raise ValueError(f"points must be (N, >=3), got {pts.shape}")
+        if pts.strides[1] != 4:
             pts = np.ascontiguousarray(pts[:, :3], np.float32)
         stride = pts.strides[0] // 4
         ri = np.zeros(H * W, np.float32)
@@ -349,7 +351,9 @@ def project_points_host_u16(points: np.ndarray, lidar: LidarConfig, step_over16:
         import ctypes as ct
 
         pts = np.asarray(points, np.float32)
-        if pts.ndim != 2 or pts.shape[1] < 3 or pts.strides[1] != 4:
+        if pts.ndim != 2 or pts.shape[1] < 3:
+            raise ValueError(f"points must be (N, >=3), got {pts.shape}")
+        if pts.strides[1] != 4:
             pts = np.ascontiguousarray(pts[:, :3], np.float32)
         stride = pts.strides[0] // 4
         if lidar.even_dist:

@@ -90,6 +90,12 @@ class BatchEngine:
         self._encode_b = make_batch_encoder(
             lidar, cfg, mesh, from_ri=True, ri_u16=self._u16
         )
+        # Two decoder programs: the i8+exception uplink (default) and the
+        # full-i16 fallback, which only triggers when a frame overflows
+        # EXC_CAP on the decode uplink.  The fallback compiles lazily —
+        # on this rig a remote XLA compile is a 2-15 minute stall the first
+        # time a degenerate frame shows up mid-production (cached after).
+        # Call prewarm_fallback_decoder() during setup to pay it up front.
         self._decode_b = make_batch_decoder(lidar, cfg, mesh)
         self._decode_b_i8 = make_batch_decoder(lidar, cfg, mesh, i8_stream=True)
         self.entropy = BasicCompressor(
@@ -526,6 +532,33 @@ class BatchEngine:
 
             self._tm_np = build_transform_map(self.lidar)
         return [ris[i][..., None] * self._tm_np for i in range(live)]
+
+    def prewarm_fallback_decoder(self) -> None:
+        """Compile the full-i16 fallback decoder program up front.
+
+        The fallback only runs when a frame overflows EXC_CAP on the decode
+        uplink; left to compile lazily, the first such frame stalls
+        production for one remote XLA compile (2-15 min on this rig, then
+        cached).  Encoding here is all-zero minimal-bucket shapes — the
+        program is shape-polymorphic only through the bucketing quantum, so
+        this warms the common bucket."""
+        import jax
+
+        b, nm = self.batch_size, None
+        from rpcc_tpu.models.encoder import num_model_rows
+
+        nm = num_model_rows(self.cfg)
+        contour = np.zeros((b, self.hw // 8), np.uint8)
+        seq = np.zeros((b, _bucket(1, self.hw)), np.uint16)
+        seq[:, 0] = 1  # one full-image run of cluster id 1 (zero pixels)
+        stream = np.zeros((b, _bucket(1, self.hw)), np.int16)
+        models = np.zeros((b, nm, 4), np.float32)
+        args = (contour, seq, stream, models, self._step_arg)
+        if self.cfg.uniform:
+            dec = self._decode_b(*args)
+        else:
+            dec = self._decode_b(*args, np.zeros((b, nm), np.uint8))
+        jax.block_until_ready(dec)
 
     def decode_blobs(self, blobs: Sequence[bytes]) -> List[np.ndarray]:
         dec, live = self.decode_blobs_device(blobs)

@@ -112,6 +112,11 @@ def test_seed_changes_bitstream(codec_and_frame):
     codec, pc = codec_and_frame
     out0 = codec.encode_device(pc, seed=0)
     out1 = codec.encode_device(pc, seed=1)
-    # Different RANSAC/FPS seeds must still produce a valid bound; streams
-    # will generally differ (segmentation is seeded).
     assert int(out0.stream_len) > 0 and int(out1.stream_len) > 0
+    # The seed must actually thread into the RANSAC/FPS PRNG: different
+    # seeds on the same frame must yield different quantized streams (a
+    # seed that silently stops being wired in would make them identical).
+    n0, n1 = int(out0.stream_len), int(out1.stream_len)
+    s0 = np.asarray(out0.stream)[:n0]
+    s1 = np.asarray(out1.stream)[:n1]
+    assert n0 != n1 or not np.array_equal(s0, s1)
