@@ -288,25 +288,23 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as td:
         files = []
         dl_variants = _jittered_variants(pc, 8)
-        for i in range(BATCH * 2):
+        for i in range(BATCH * 6):  # enough batches to amortize pipeline ramp
             p = os.path.join(td, f"frames/{i:06d}.bin")
             os.makedirs(os.path.dirname(p), exist_ok=True)
             v = dl_variants[i % len(dl_variants)]
             np.concatenate([v, np.zeros((v.shape[0], 1), np.float32)], -1).tofile(p)
             files.append(p)
         from rpcc_tpu.cli.compress_datalist import output_path_for
-        from rpcc_tpu.data.pointcloud_io import load_point_cloud as load_pc
+        from rpcc_tpu.data.pointcloud_io import load_point_cloud_f32
+        from rpcc_tpu.parallel import prefetch_loaded_batches
 
         t0 = time.perf_counter()
         done = 0
-
-        def dl_gen():
-            for s in range(0, len(files), BATCH):
-                chunk = files[s : s + BATCH]
-                yield [load_pc(f) for f in chunk], range(s, s + len(chunk))
-
+        dl_gen = prefetch_loaded_batches(
+            files, BATCH, lambda i: load_point_cloud_f32(files[i]), workers=4
+        )
         name_chunks = [files[s : s + BATCH] for s in range(0, len(files), BATCH)]
-        for chunk, results in zip(name_chunks, engine_de.encode_pipeline(dl_gen())):
+        for chunk, results in zip(name_chunks, engine_de.encode_pipeline(dl_gen)):
             for (blob, _f), name in zip(results, chunk):
                 with open(output_path_for(name, td + "/out", "rpcc"), "wb") as f:
                     f.write(blob)

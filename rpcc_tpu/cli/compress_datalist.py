@@ -52,8 +52,8 @@ def main() -> None:
     import jax
 
     from rpcc_tpu.data import build_dataset
-    from rpcc_tpu.data.pointcloud_io import load_point_cloud
-    from rpcc_tpu.parallel import BatchEngine, data_mesh
+    from rpcc_tpu.data.pointcloud_io import load_point_cloud_f32
+    from rpcc_tpu.parallel import BatchEngine, data_mesh, prefetch_loaded_batches
 
     dataset = build_dataset(datalist=args.datalist, lidar_type=args.lidar)
     mesh = data_mesh() if len(jax.devices()) > 1 else None
@@ -72,7 +72,7 @@ def main() -> None:
 
     def load(idx: int):
         try:
-            return load_point_cloud(file_list[idx])
+            return load_point_cloud_f32(file_list[idx])
         except Exception as e:  # failure isolation (--keep_going)
             if not args.keep_going:
                 raise
@@ -101,14 +101,13 @@ def main() -> None:
             done += live
     else:
         # Throughput path: 3-deep pipeline (upload k / download k-1 /
-        # entropy+write k-2 all overlap).
-        def gen():
-            for start in range(0, n, args.batch):
-                clouds = list(io_pool.map(load, range(start, min(start + args.batch, n))))
-                yield clouds, [cfg.seed + start + i for i in range(len(clouds))]
-
+        # entropy+write k-2 all overlap) fed by a background prefetcher so
+        # disk reads never stall a pipeline pull.
+        gen = prefetch_loaded_batches(
+            file_list, args.batch, load, seed_base=cfg.seed, workers=args.workers
+        )
         name_batches = [file_list[s : s + args.batch] for s in range(0, n, args.batch)]
-        for names, results in zip(name_batches, engine.encode_pipeline(gen())):
+        for names, results in zip(name_batches, engine.encode_pipeline(gen)):
             for (blob, _fields), name in zip(results, names):
                 try:
                     path = output_path_for(name, args.output_dir, "rpcc")

@@ -14,7 +14,7 @@ import threading
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "librpcc_native.so")
-_SOURCES = ["lz4.cpp", "deflate.cpp", "rans.cpp", "raster.cpp"]
+_SOURCES = ["lz4.cpp", "deflate.cpp", "rans.cpp", "raster.cpp", "decode.cpp"]
 _lock = threading.Lock()
 _lib = None
 _lib_failed = False
@@ -40,6 +40,20 @@ def _build_native() -> bool:
             cmd = [*base, "-o", _SO_PATH, *srcs, "-lz"]
             subprocess.run(cmd, check=True, capture_output=True)
             return True
+        except subprocess.CalledProcessError as e:
+            # A silent failure here drops every hot path onto numpy
+            # fallbacks (~15x slower projection, slower entropy) — warn
+            # loudly so a broken source edit can't masquerade as a
+            # performance regression.
+            import sys
+
+            err = (e.stderr or b"").decode(errors="replace").strip().splitlines()
+            print(
+                "WARNING: rpcc_tpu native build FAILED — falling back to "
+                "numpy paths.\n  " + "\n  ".join(err[:8]),
+                file=sys.stderr,
+            )
+            return False
         except Exception:
             return False
 
@@ -107,6 +121,30 @@ def _load():
                 ctypes.c_float, ctypes.c_float, ctypes.c_float,
                 ctypes.c_void_p, ctypes.c_int32, ctypes.c_float,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+        fn = getattr(lib, "project_bin_raster_d8", None)
+        if fn is not None:
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_float, ctypes.c_float, ctypes.c_float,
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_float,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+        fn = getattr(lib, "host_decode_frame", None)
+        if fn is not None:
+            # c_float argtypes required (see project_bin_raster note).
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+                ctypes.c_float, ctypes.c_void_p,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p,
             ]
         _lib = lib
         return _lib

@@ -1,0 +1,113 @@
+// Host-side frame reconstruction: entropy-decoded fields -> range image
+// (and optionally the compacted (n, 4) xyz0 rows ready for .bin output).
+//
+// Mirrors the device decoder graph (models/decoder.py) and the reference
+// decode chain (tools/decompress.py:87-112): run-length seg recovery
+// (cpp_modules.cpp:561-593 walks the flattened map the same way),
+// cluster-id-major residual ordering (cpp_modules.cpp:311-319, id 1
+// skipped), intra-prediction (cpp_modules.cpp:264-281), ri = pred + q*step.
+//
+// Why a host decoder at all: decode on this rig is wire-bound — the device
+// path uploads ~150 KB/frame of entropy-decoded arrays and downloads a
+// ~256 KB/frame range image over a tunnel that burns host CPU per byte,
+// while the whole reconstruction is ~1 ms/frame of branch-free float math
+// on the 1-core host.  f32 arithmetic with -ffp-contract=off matches the
+// numpy fallback bit-for-bit; plane predictions agree with the device
+// graph to float rounding (the residual bound is unaffected).
+
+#include <cstddef>
+#include <cstdint>
+#include <vector>
+
+using std::size_t;
+
+extern "C" {
+
+int64_t host_decode_frame(
+    const uint8_t* contour_packed,  // (HW/8,) MSB-first bit plane
+    const uint16_t* seq, int64_t n_seq,
+    const int16_t* stream, int64_t n_stream,
+    const float* models, int32_t M,  // (M, 4) a,b,c,d rows
+    const uint8_t* salience,         // (M,) or null (uniform mode)
+    const float* level_acc, int32_t n_levels,  // per-level steps, or null
+    float step,                      // uniform quantization step
+    const float* tm,                 // (3, HW) planar unit rays
+    int32_t H, int32_t W,
+    float* ri_out,                   // (HW,)
+    float* xyz_out) {                // (HW, 4) or null; returns rows written
+  const int64_t hw = (int64_t)H * W;
+  // 1. Segmentation map: run-length fill over the flattened image.
+  std::vector<int32_t> seg((size_t)hw);
+  {
+    int64_t s = 0;
+    int32_t cur = 0;
+    for (int64_t p = 0; p < hw; ++p) {
+      if (contour_packed[p >> 3] & (uint8_t)(0x80u >> (p & 7))) {
+        if (s < n_seq) cur = (int32_t)seq[s++];
+      }
+      seg[(size_t)p] = cur;
+    }
+  }
+  // 2. Stream offsets per cluster id: visit order 0, 2, 3, ..., M-1
+  //    (id 1 = zero pixels carries no residuals).
+  std::vector<int64_t> cnt((size_t)M, 0);
+  for (int64_t p = 0; p < hw; ++p) {
+    int32_t id = seg[(size_t)p];
+    if (id >= 0 && id < M) ++cnt[(size_t)id];
+  }
+  std::vector<int64_t> pos((size_t)M, 0);
+  int64_t off = cnt.empty() ? 0 : cnt[0];
+  for (int32_t c = 2; c < M; ++c) {
+    pos[(size_t)c] = off;
+    off += cnt[(size_t)c];
+  }
+  // 3. Reconstruct: dequantize + intra-predict in one row-major pass.
+  const float* tx = tm;
+  const float* ty = tm + hw;
+  const float* tz = tm + 2 * hw;
+  for (int64_t p = 0; p < hw; ++p) {
+    int32_t id = seg[(size_t)p];
+    float r = 0.0f;
+    if (id != 1 && id >= 0 && id < M) {
+      int64_t k = pos[(size_t)id]++;
+      float q = (k < n_stream) ? (float)stream[k] : 0.0f;
+      float a = models[4 * id], b = models[4 * id + 1];
+      float c = models[4 * id + 2], d = models[4 * id + 3];
+      float pred;
+      if (a + b + c == 0.0f) {  // exact-zero point-model test (cpp:271)
+        pred = d;
+      } else {
+        float denom = a * tx[p] + b * ty[p] + c * tz[p];
+        // Degenerate through-origin ray: predict 0, like both codec sides
+        // (ops/stream.py::predict_stream).
+        pred = (denom == 0.0f) ? 0.0f : -d / denom;
+      }
+      float st = step;
+      if (salience != nullptr && level_acc != nullptr) {
+        int32_t lv = (int32_t)salience[id];
+        if (lv >= 0 && lv < n_levels) st = level_acc[lv];
+      }
+      r = pred + q * st;
+    }
+    ri_out[p] = r;
+  }
+  // 4. Optional compacted (n, 4) xyz0 rows; the drop rule is sum(xyz) != 0,
+  //    matching the reference save path (dataset/dataset.py:74-75).
+  int64_t n = 0;
+  if (xyz_out != nullptr) {
+    for (int64_t p = 0; p < hw; ++p) {
+      float r = ri_out[p];
+      float x = r * tx[p], y = r * ty[p], z = r * tz[p];
+      if (x + y + z != 0.0f) {
+        xyz_out[4 * n] = x;
+        xyz_out[4 * n + 1] = y;
+        xyz_out[4 * n + 2] = z;
+        xyz_out[4 * n + 3] = 0.0f;
+        ++n;
+      }
+    }
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -190,3 +190,47 @@ extern "C" void project_bin_raster_u16(
   }
   *delta_out = d;
 }
+
+// i8 row-delta transfer variant: u16-snap as above, then first-difference
+// the flattened q grid into an i8 plane plus a compact exception list.
+// An exception is emitted at column 0 of every row (bounds the position
+// gap and resets the cumsum chain) and wherever the delta falls outside
+// [-128, 127]; its d8 slot is 0, and (pos_delta u16, absolute q u16) go to
+// the side lists.  The device inverts with two cumsums + one small scatter
+// (models/encoder.py ri_d8 path): q = cumsum(d8) + cumsum(scatter(K-diffs))
+// where K_e = q_e - cumsum(d8)[e].  ~11 MB per 64-frame KITTI batch vs
+// 16 MB for raw u16 — the uplink wire is the e2e encode ceiling on this
+// rig.  Returns the exception count; exc buffers must hold H*W entries
+// (worst case).  Bit-identical to the numpy fallback (same rule, same q).
+extern "C" int64_t project_bin_raster_d8(
+    const float *pts, int64_t n, int64_t stride, int32_t H, int32_t W,
+    int32_t even_dist, float hfov, float vmin, float vres,
+    const float *v_angles, int32_t n_chan, float step_over16,
+    float *ri_scratch, uint16_t *q_scratch, float *delta_out,
+    int8_t *d8_out, uint16_t *exc_pd, uint16_t *exc_val) {
+  project_bin_raster_u16(pts, n, stride, H, W, even_dist, hfov, vmin, vres,
+                         v_angles, n_chan, step_over16, ri_scratch, q_scratch,
+                         delta_out);
+  const int64_t hw = (int64_t)H * W;
+  int64_t n_exc = 0;
+  int32_t prev_q = 0;
+  int64_t prev_pos = -1;
+  int64_t p = 0;
+  for (int32_t r = 0; r < H; ++r) {
+    for (int32_t c = 0; c < W; ++c, ++p) {
+      int32_t q = (int32_t)q_scratch[p];
+      int32_t dlt = q - prev_q;
+      if (c != 0 && dlt >= -128 && dlt <= 127) {
+        d8_out[p] = (int8_t)dlt;
+      } else {
+        d8_out[p] = 0;
+        exc_pd[n_exc] = (uint16_t)(p - prev_pos);
+        exc_val[n_exc] = (uint16_t)q;
+        prev_pos = p;
+        ++n_exc;
+      }
+      prev_q = q;
+    }
+  }
+  return n_exc;
+}

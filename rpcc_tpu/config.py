@@ -132,7 +132,11 @@ class CodecConfig:
     # half the upload bytes (the dominant wire cost on tunneled hosts) at
     # the price of <= delta/2 extra reconstruction error (3.1% of the
     # accuracy bound for typical frames).
-    transfer_precision: str = "f32"  # 'f32' | 'u16'
+    # Host<->device transfer precision for the range-image uplink:
+    # 'f32' raw, 'u16' per-frame snap grid (half the bytes, <= delta/2
+    # error), 'i8' row-delta over the u16 grid + exception list (~30% fewer
+    # bytes again, bit-identical bitstream to 'u16').
+    transfer_precision: str = "f32"  # 'f32' | 'u16' | 'i8'
     # Entropy-code the two big fields (residual stream, contour plane) ON
     # DEVICE (ops/rans_device.py): the engine then downloads ~30 KB of
     # compressed words per frame instead of the ~200 KB transfer view, and

@@ -32,6 +32,19 @@ def load_point_cloud(file: str) -> np.ndarray:
     return np.asarray(pc, dtype=np.float64)[:, :3]
 
 
+def load_point_cloud_f32(file: str) -> np.ndarray:
+    """Throughput-path loader: (N, >=3) float32, minimal copies.
+
+    ``load_point_cloud`` round-trips through float64 for reference parity
+    (dataset/dataset.py:43-63 feeds float64 into o3d); on the datalist hot
+    path that conversion costs ~4 ms/frame on the 1-core host.  KITTI .bin
+    files are already float32 (N, 4) on disk — return them as-is (columns
+    beyond xyz are ignored downstream via the stride argument)."""
+    if file.split(".")[-1].lower() == "bin":
+        return np.fromfile(file, dtype=np.float32).reshape(-1, 4)
+    return np.ascontiguousarray(load_point_cloud(file), dtype=np.float32)
+
+
 def save_point_cloud(file: str, point_cloud: np.ndarray) -> None:
     """Save, dropping all-zero points like the reference (dataset.py:74-75)."""
     pc = np.asarray(point_cloud).reshape(-1, point_cloud.shape[-1])

@@ -106,6 +106,7 @@ def build_encode_fn(
     cfg: CodecConfig,
     from_ri: bool = False,
     ri_u16: bool = False,
+    ri_d8: bool = False,
 ):
     """Build the raw (traceable) single-frame encode function.
 
@@ -127,6 +128,14 @@ def build_encode_fn(
     depths to a per-frame ``delta`` grid and the device rescales
     ``ri = ri_u16 * delta`` — half the upload bytes for <= delta/2 extra
     reconstruction error (cfg.transfer_precision).
+
+    With ``ri_d8=True`` the signature becomes ``encode(d8 (H, W) i8, seed,
+    step, delta (), exc_pd (m,) u16, exc_val (m,) u16, n_exc ())``: the
+    host ships first-differences of the u16 snap grid plus a compact
+    exception list (ops/projection.py::project_points_host_d8) and the
+    graph reconstructs the exact q grid with two cumsums + one small
+    scatter — ~30% fewer uplink bytes than raw u16, bit-identical
+    bitstreams (cfg.transfer_precision='i8').
     """
     tm_planes = jnp.asarray(build_transform_planes(lidar))  # (3, H, W) planar
     H, W = lidar.height, lidar.width
@@ -146,11 +155,32 @@ def build_encode_fn(
         seed: jnp.ndarray,
         step: jnp.ndarray,
         delta: Optional[jnp.ndarray] = None,
+        exc_pd: Optional[jnp.ndarray] = None,
+        exc_val: Optional[jnp.ndarray] = None,
+        n_exc: Optional[jnp.ndarray] = None,
     ) -> EncoderOutput:
         key = jax.random.PRNGKey(seed)
         k_seg, k_model = jax.random.split(key)
 
-        if ri_u16:
+        if ri_d8:
+            # Invert the host's row-delta i8 code exactly (integer math):
+            # C = cumsum(d8); at each exception e the true grid value is
+            # exc_val[e], so a correction K_e = exc_val[e] - C[pos_e] holds
+            # from e to the next exception — scatter the K telescoping
+            # diffs and cumsum (col-0 exceptions reset every row, so the
+            # flat cumsum never leaks across rows).
+            d32 = points.astype(jnp.int32).reshape(hw)
+            C = jnp.cumsum(d32)
+            m = exc_pd.shape[0]
+            live_e = jnp.arange(m) < n_exc
+            pos = jnp.cumsum(exc_pd.astype(jnp.int32)) - 1
+            pos = jnp.where(live_e, pos, hw)
+            Cp = jnp.concatenate([C, jnp.zeros((1,), jnp.int32)])
+            K = jnp.where(live_e, exc_val.astype(jnp.int32) - Cp[pos], 0)
+            Kd = jnp.concatenate([K[:1], K[1:] - K[:-1]])
+            qv = C + jnp.cumsum(jnp.zeros((hw,), jnp.int32).at[pos].add(Kd, mode="drop"))
+            ri = (qv.astype(jnp.float32) * delta).reshape(H, W)
+        elif ri_u16:
             ri = points.astype(jnp.float32) * delta  # (H, W), host-snapped
         elif from_ri:
             ri = points  # (H, W) f32, projected on host
@@ -308,19 +338,27 @@ def make_batch_encoder(
     mesh=None,
     from_ri: bool = False,
     ri_u16: bool = False,
+    ri_d8: bool = False,
 ):
     """Jitted batched encoder over (B, N, 3) points (or (B, H, W) range
     images with ``from_ri=True``; (B, H, W) u16 plus a (B,) delta with
-    ``ri_u16=True``) and (B,) seeds.
+    ``ri_u16=True``; (B, H, W) i8 plus (B,) delta, (B, m) u16 exception
+    pos-deltas/values and (B,) counts with ``ri_d8=True``) and (B,) seeds.
 
     With a ``mesh`` (1-D, axis 'data'), inputs/outputs are sharded over the
     batch dimension — frame-level data parallelism across chips, the TPU
     equivalent of the reference's ThreadPoolExecutor over frames
     (tools/compress_datalist.py:202-206).
     """
-    in_axes = (0, 0, None, 0) if ri_u16 else (0, 0, None)
+    if ri_d8:
+        in_axes = (0, 0, None, 0, 0, 0, 0)
+    elif ri_u16:
+        in_axes = (0, 0, None, 0)
+    else:
+        in_axes = (0, 0, None)
     fn = jax.vmap(
-        build_encode_fn(lidar, cfg, from_ri=from_ri, ri_u16=ri_u16), in_axes=in_axes
+        build_encode_fn(lidar, cfg, from_ri=from_ri, ri_u16=ri_u16, ri_d8=ri_d8),
+        in_axes=in_axes,
     )
     if mesh is None:
         return jax.jit(fn)
@@ -328,10 +366,8 @@ def make_batch_encoder(
 
     batch_sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
-    in_shardings = (
-        (batch_sharding, batch_sharding, replicated, batch_sharding)
-        if ri_u16
-        else (batch_sharding, batch_sharding, replicated)
+    in_shardings = tuple(
+        replicated if ax is None else batch_sharding for ax in in_axes
     )
     return jax.jit(
         fn,

@@ -392,3 +392,88 @@ def project_points_host_u16(points: np.ndarray, lidar: LidarConfig, step_over16:
     d = np.float32(max(float(floor), float(ri.max()) / 65535.0))
     q = np.rint(ri * (np.float32(1.0) / d))
     return np.minimum(q, np.float32(65535.0)).astype(np.uint16), d
+
+
+def project_points_host_d8(points: np.ndarray, lidar: LidarConfig, step_over16: float):
+    """i8 row-delta transfer projection:
+    ``-> ((H, W) i8 delta plane, (n,) u16 exc pos-deltas, (n,) u16 exc
+    values, f32 delta)``.
+
+    Same u16 snap grid as :func:`project_points_host_u16`, but the wire
+    carries first-differences of the flattened q grid as i8 plus a compact
+    exception list (column 0 of every row, and any |delta| > 127 — ~7-12k
+    entries on KITTI).  ~30% fewer uplink bytes than raw u16; the encoder
+    graph reconstructs q exactly with two cumsums + one small scatter
+    (``ri_d8`` mode), so the bitstream is bit-identical to u16-transfer
+    mode.  Exception position deltas never overflow u16: the col-0 resets
+    bound the gap by W.  Native single pass when available; the numpy
+    fallback applies the identical rule to the identical q grid.
+    """
+    from rpcc_tpu.codec.lz4block import native_lib
+
+    H, W = lidar.height, lidar.width
+    hw = H * W
+    floor = np.float32(step_over16)
+    lib = native_lib()
+    if lib is not None and hasattr(lib, "project_bin_raster_d8"):
+        import ctypes as ct
+
+        pts = np.asarray(points, np.float32)
+        if pts.ndim != 2 or pts.shape[1] < 3:
+            raise ValueError(f"points must be (N, >=3), got {pts.shape}")
+        if pts.strides[1] != 4:
+            pts = np.ascontiguousarray(pts[:, :3], np.float32)
+        stride = pts.strides[0] // 4
+        if lidar.even_dist:
+            vres = np.float32((lidar.vertical_max - lidar.vertical_min) / (H - 1))
+            va_ptr, n_chan = None, 0
+        else:
+            vres = np.float32(0.0)
+            va = np.radians(
+                np.asarray(lidar.vertical_angles_deg, np.float64)
+            ).astype(np.float32)
+            va = np.ascontiguousarray(va)
+            va_ptr, n_chan = va.ctypes.data_as(ct.c_void_p), int(va.shape[0])
+        scratch = np.zeros(hw, np.float32)
+        q_scratch = np.empty(hw, np.uint16)
+        delta = np.zeros(1, np.float32)
+        d8 = np.empty(hw, np.int8)
+        exc_pd = np.empty(hw, np.uint16)
+        exc_val = np.empty(hw, np.uint16)
+        n_exc = lib.project_bin_raster_d8(
+            pts.ctypes.data_as(ct.c_void_p),
+            ct.c_int64(pts.shape[0]),
+            ct.c_int64(stride),
+            ct.c_int32(H),
+            ct.c_int32(W),
+            ct.c_int32(1 if lidar.even_dist else 0),
+            ct.c_float(np.float32(lidar.horizontal_fov)),
+            ct.c_float(np.float32(lidar.vertical_min)),
+            ct.c_float(vres),
+            va_ptr,
+            ct.c_int32(n_chan),
+            ct.c_float(floor),
+            scratch.ctypes.data_as(ct.c_void_p),
+            q_scratch.ctypes.data_as(ct.c_void_p),
+            delta.ctypes.data_as(ct.c_void_p),
+            d8.ctypes.data_as(ct.c_void_p),
+            exc_pd.ctypes.data_as(ct.c_void_p),
+            exc_val.ctypes.data_as(ct.c_void_p),
+        )
+        return (
+            d8.reshape(H, W),
+            exc_pd[:n_exc].copy(),
+            exc_val[:n_exc].copy(),
+            np.float32(delta[0]),
+        )
+
+    q, d = project_points_host_u16(points, lidar, step_over16)
+    qi = q.astype(np.int32).reshape(-1)
+    diff = np.diff(qi, prepend=np.int32(0))
+    col0 = (np.arange(hw) % W) == 0
+    exc = col0 | (diff < -128) | (diff > 127)
+    d8 = np.where(exc, 0, diff).astype(np.int8)
+    pos = np.flatnonzero(exc)
+    pd = np.diff(pos, prepend=np.int64(-1)).astype(np.uint16)
+    val = qi[pos].astype(np.uint16)
+    return d8.reshape(H, W), pd, val, np.float32(d)

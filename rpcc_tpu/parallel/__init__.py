@@ -10,3 +10,4 @@ device compute via async dispatch + a thread pool.
 
 from rpcc_tpu.parallel.mesh import data_mesh
 from rpcc_tpu.parallel.engine import BatchEngine
+from rpcc_tpu.parallel.prefetch import prefetch_loaded_batches
