@@ -20,6 +20,12 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     add_codec_args(parser)
     parser.add_argument("--original_point_cloud", default=None)
+    parser.add_argument(
+        "--decode_backend", choices=("device", "host"), default="device",
+        help="device: jitted TPU decode graph (scales over the mesh); "
+        "host: fused native C++ reconstruction (no device roundtrip — "
+        "the wire-bound direction on tunneled rigs)",
+    )
     args = parser.parse_args()
     print_args(args)
 
@@ -46,10 +52,26 @@ def main() -> None:
             args.lidar = head["lidar_name"]
     lidar = lidar_from_args(args)
 
-    from rpcc_tpu.models.pipeline import RPCCCodec
+    codec = None
+    if args.decode_backend == "host":
+        import time
 
-    codec = RPCCCodec(lidar, cfg)
-    pc_rec, ri_rec, times = codec.decompress(blob)
+        from rpcc_tpu.models.host_decoder import HostDecoder
+        from rpcc_tpu.ops.projection import build_transform_map
+
+        hd = HostDecoder(lidar, cfg)
+        t0 = time.time()
+        fields = hd.entropy_decode_blobs([blob])[0]
+        t1 = time.time()
+        ri_rec = hd.decode_fields(fields)
+        t2 = time.time()
+        pc_rec = ri_rec[..., None] * build_transform_map(lidar)
+        times = {"entropy": t1 - t0, "device_decode": t2 - t1}
+    else:
+        from rpcc_tpu.models.pipeline import RPCCCodec
+
+        codec = RPCCCodec(lidar, cfg)
+        pc_rec, ri_rec, times = codec.decompress(blob)
     save_point_cloud(args.output, pc_rec.reshape(-1, 3))
 
     print("\nDecompression finished.")
@@ -64,6 +86,10 @@ def main() -> None:
         )
         print("\nStart evaluation...")
         original = load_point_cloud(args.original_point_cloud)
+        if codec is None:
+            from rpcc_tpu.models.pipeline import RPCCCodec
+
+            codec = RPCCCodec(lidar, cfg)
         out = codec.encode_device(original)
         ri = np.asarray(out.range_image)
         n_points = int((ri > 0).sum())

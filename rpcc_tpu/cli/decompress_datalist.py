@@ -19,15 +19,17 @@ from rpcc_tpu.data.pointcloud_io import save_point_cloud
 def main() -> None:
     parser = argparse.ArgumentParser()
     add_codec_args(parser, datalist=True)
+    parser.add_argument(
+        "--decode_backend", choices=("device", "host"), default="device",
+        help="device: jitted TPU decode graph (scales over the mesh); "
+        "host: fused native C++ reconstruction (no device roundtrip — "
+        "the wire-bound direction on tunneled rigs)",
+    )
     args = parser.parse_args()
     print_args(args)
 
     cfg = config_from_args(args)
     lidar = lidar_from_args(args)
-
-    import jax
-
-    from rpcc_tpu.parallel import BatchEngine, data_mesh
 
     import os
 
@@ -45,12 +47,22 @@ def main() -> None:
         ]
         print(f"--skip_existing: {before - len(file_list)} done, {len(file_list)} to go")
 
-    mesh = data_mesh() if len(jax.devices()) > 1 else None
-    engine = BatchEngine(lidar, cfg, batch_size=args.batch, mesh=mesh, workers=args.workers)
     io_pool = futures.ThreadPoolExecutor(args.workers)
-
     t0 = time.time()
     done = 0
+    if args.decode_backend == "host":
+        done = _host_decode_datalist(args, cfg, lidar, file_list, io_pool)
+        dt = time.time() - t0
+        print(f"\nDecompressed {done} frames in {dt:.2f}s ({done / dt:.2f} frames/s)")
+        return
+
+    import jax
+
+    from rpcc_tpu.parallel import BatchEngine, data_mesh
+
+    mesh = data_mesh() if len(jax.devices()) > 1 else None
+    engine = BatchEngine(lidar, cfg, batch_size=args.batch, mesh=mesh, workers=args.workers)
+
     if args.keep_going:
         # Failure-isolation path: per-batch decode so one corrupt bitstream
         # only skips its own batch.
@@ -91,6 +103,35 @@ def main() -> None:
 
     dt = time.time() - t0
     print(f"\nDecompressed {done} frames in {dt:.2f}s ({done / dt:.2f} frames/s)")
+
+
+def _host_decode_datalist(args, cfg, lidar, file_list, io_pool) -> int:
+    """Device-free datalist decode: batched native entropy decode + fused
+    C++ reconstruction, compacted (n, 4) rows written straight to .bin."""
+    import numpy as np
+
+    from rpcc_tpu.models.host_decoder import HostDecoder
+
+    hd = HostDecoder(lidar, cfg)
+    done = 0
+    for start in range(0, len(file_list), args.batch):
+        names = file_list[start : start + args.batch]
+        try:
+            blobs = list(io_pool.map(lambda fp: open(fp, "rb").read(), names))
+            pts = hd.decode_blobs_points(blobs)
+        except Exception as e:
+            if not args.keep_going:
+                raise
+            print(f"ERROR decoding batch at {names[0]}: {e}")
+            continue
+
+        def write(i: int) -> None:
+            path = output_path_for(names[i], args.output_dir, "bin")
+            np.ascontiguousarray(pts[i], "<f4").tofile(path)
+
+        list(io_pool.map(write, range(len(names))))
+        done += len(names)
+    return done
 
 
 if __name__ == "__main__":

@@ -67,6 +67,40 @@ def flood_fill_encode(contour_map: np.ndarray, idx_map: np.ndarray) -> np.ndarra
     return np.asarray(seq)
 
 
+def sorted_index_encoder(
+    contour_map: np.ndarray, idx_map: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Visit-order id-remapping flood fill (``contour_utils.py:16-57``).
+
+    Walks regions in row-major discovery order and renumbers each one
+    1, 2, ... ("to make sure each block has different plane id"), so two
+    disconnected regions sharing a cluster id become distinct.  Returns
+    ``(sorted_idx_map, sorted_sequence, original_sequence)`` — decoding
+    ``sorted_sequence`` with :func:`flood_fill_decode` reproduces
+    ``sorted_idx_map`` exactly.
+    """
+    rows, cols = idx_map.shape
+    visited = np.zeros((rows, cols), bool)
+    sorted_map = np.array(idx_map, np.int32, copy=True)
+    orig_seq: List[int] = []
+    sorted_seq: List[int] = []
+    n = 1
+    for r in range(rows):
+        for c in range(cols):
+            if visited[r, c]:
+                continue
+            orig_seq.append(int(idx_map[r, c]))
+            sorted_seq.append(n)
+            stack = [(r, c)]
+            while stack:
+                cr, cc = stack.pop()
+                visited[cr, cc] = True
+                sorted_map[cr, cc] = n
+                stack.extend(_neighbors(cr, cc, rows, cols, contour_map, visited))
+            n += 1
+    return sorted_map, np.asarray(sorted_seq), np.asarray(orig_seq)
+
+
 def flood_fill_decode(contour_map: np.ndarray, idx_sequence: np.ndarray) -> np.ndarray:
     rows, cols = contour_map.shape[:2]
     visited = np.zeros((rows, cols), bool)

@@ -346,4 +346,79 @@ void rans_contour_encode_frames(
     }
 }
 
+// Finalize decoded delta containers: escape substitution + unzigzag +
+// prefix-sum + dtype cast, per frame — replaces a ~1.6 ms/frame numpy
+// post-pass (decompress_delta_batch tail) on the 1-core host.  sym is the
+// (B, L, Tmax) output of rans_decode_ctx_batch; frame b's stream position
+// j lives at lane j / Ts[b], offset j % Ts[b].  Escape substitution runs
+// in stream order (matching zz[sym == ESCAPE] = escapes) and d[0] is
+// forced to 0 after substitution, exactly like the numpy path.
+void rans_delta_finalize_frames(
+    const int32_t* sym, int B, int L, int Tmax, int A,
+    const int32_t* Ts, const int64_t* ns, const int64_t* q0s,
+    const uint64_t* esc_ptrs, const int32_t* esc_counts,
+    const uint8_t* dtypes,   // 0=i16, 1=u16, 2=i32
+    uint64_t* out_ptrs) {
+  const int32_t ESC = A - 1;
+  for (int b = 0; b < B; ++b) {
+    const int32_t T = Ts[b];
+    const int64_t n = ns[b];
+    if (n <= 0 || T <= 0) continue;
+    const int32_t* s = sym + (int64_t)b * L * Tmax;
+    const uint32_t* esc = (const uint32_t*)esc_ptrs[b];
+    const int32_t n_esc = esc_counts[b];
+    int64_t ei = 0;
+    int64_t q = q0s[b];
+    const uint8_t dt = dtypes[b];
+    int16_t* o16 = (int16_t*)out_ptrs[b];
+    uint16_t* ou16 = (uint16_t*)out_ptrs[b];
+    int32_t* o32 = (int32_t*)out_ptrs[b];
+    int64_t j = 0;
+    for (int32_t lane = 0; lane < L && j < n; ++lane) {
+      const int32_t* sl = s + (int64_t)lane * Tmax;
+      int64_t lim = n - (int64_t)lane * T;
+      if (lim > T) lim = T;
+      for (int64_t t = 0; t < lim; ++t, ++j) {
+        int64_t zz = sl[t];
+        if (zz == ESC && ei < n_esc) zz = (int64_t)esc[ei++];
+        int64_t d = (j == 0) ? 0 : ((zz >> 1) ^ -(zz & 1));
+        q += d;
+        if (dt == 0) o16[j] = (int16_t)q;
+        else if (dt == 1) ou16[j] = (uint16_t)q;
+        else o32[j] = (int32_t)q;
+      }
+    }
+  }
+}
+
+// De-skew wavefront-decoded contour symbols and packbits MSB-first over
+// the FLAT (H*W) bit stream (np.packbits semantics — bytes may span row
+// boundaries when W % 8 != 0; the tail byte is zero-padded).  Bit (r, c)
+// of the plane lives at sym[r, c + r] (the encoder shears rows by r).
+// Replaces the per-frame numpy gather + packbits.
+void rans_contour_finalize_frames(
+    const int32_t* sym, int B, int H, int W, int T,
+    uint8_t* out) {  // (B, ceil(H*W/8))
+  const int64_t nb = ((int64_t)H * W + 7) / 8;
+  for (int b = 0; b < B; ++b) {
+    const int32_t* s = sym + (int64_t)b * H * T;
+    uint8_t* o = out + (int64_t)b * nb;
+    uint32_t acc = 0;
+    int nacc = 0;
+    int64_t k = 0;
+    for (int32_t r = 0; r < H; ++r) {
+      const int32_t* row = s + (int64_t)r * T + r;  // skew offset
+      for (int32_t c = 0; c < W; ++c) {
+        acc = (acc << 1) | (uint32_t)(row[c] & 1);
+        if (++nacc == 8) {
+          o[k++] = (uint8_t)acc;
+          acc = 0;
+          nacc = 0;
+        }
+      }
+    }
+    if (nacc) o[k++] = (uint8_t)(acc << (8 - nacc));
+  }
+}
+
 }  // extern "C"

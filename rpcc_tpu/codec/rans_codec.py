@@ -333,6 +333,9 @@ def decompress_contour_batch(blobs: Sequence[bytes]) -> List[bytes]:
         sym = nat.decode_ctx_batch(
             words, counts, states, freqs, T, nat.MODE_WAVEFRONT
         ).reshape(B, H, T)
+        packed = nat.contour_finalize_frames(sym, H, W, T)
+        if packed is not None:  # fused de-skew + packbits (C++)
+            return [packed[i].tobytes() for i in range(B)]
     else:
         code = _r.RansCode(words, counts, states)
         with _rans_backend():
@@ -676,6 +679,16 @@ def decompress_delta_batch(blobs: Sequence[bytes]) -> List[bytes]:
             sym_all = nat.decode_ctx_batch(
                 words, counts, states, freqs, T_max, nat.MODE_ORDER0, lives=lives
             )
+        # Fused finalize (escape substitution + unzigzag + prefix sum +
+        # dtype cast in C++) — byte-identical to the numpy tail below.
+        outs = nat.delta_finalize_frames_3d(
+            sym_all.reshape(B, lanes, T_max), ALPHABET,
+            [p[2] for p in parsed], [p[3] for p in parsed],
+            [p[4] for p in parsed], [p[5] for p in parsed],
+            [p[10] for p in parsed],
+        )
+        if outs is not None:
+            return [o.tobytes() for o in outs]
     else:
         import jax.numpy as jnp
 

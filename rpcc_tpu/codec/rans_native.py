@@ -51,6 +51,15 @@ def _lib():
             lib.rans_contour_encode_frames.argtypes = (
                 [ct.c_void_p, ct.c_int, ct.c_int64] + [ct.c_int] * 3 + [ct.c_void_p] * 5
             )
+        if hasattr(lib, "rans_delta_finalize_frames"):
+            lib.rans_delta_finalize_frames.restype = None
+            lib.rans_delta_finalize_frames.argtypes = (
+                [ct.c_void_p] + [ct.c_int] * 4 + [ct.c_void_p] * 7
+            )
+            lib.rans_contour_finalize_frames.restype = None
+            lib.rans_contour_finalize_frames.argtypes = (
+                [ct.c_void_p] + [ct.c_int] * 4 + [ct.c_void_p]
+            )
         _sigs_registered = True
     return lib
 
@@ -230,3 +239,55 @@ def decode_ctx_batch(
         sym.ctypes.data,
     )
     return sym.reshape(B, L * T)
+
+
+def delta_finalize_frames_3d(sym3d, A, Ts, ns, q0s, escapes, dtypes):
+    """Fused decode tail: escape substitution + unzigzag + prefix sum +
+    dtype cast per frame.  ``sym3d`` is decode_ctx_batch's output reshaped
+    (B, L, Tmax); ``escapes`` a list of (n_i,) u32 arrays.  -> list of
+    (n_i,) arrays of each frame's dtype, or None when the native symbol is
+    missing."""
+    import ctypes as ct
+
+    lib = _lib()
+    if lib is None or not hasattr(lib, "rans_delta_finalize_frames"):
+        return None
+    B, L, Tmax = sym3d.shape
+    sym_c = np.ascontiguousarray(sym3d, np.int32)
+    Ts_c = np.ascontiguousarray(Ts, np.int32)
+    ns_c = np.ascontiguousarray(ns, np.int64)
+    q0s_c = np.ascontiguousarray(q0s, np.int64)
+    esc_arrs = [np.ascontiguousarray(e, "<u4") for e in escapes]
+    esc_ptrs = np.asarray([e.ctypes.data for e in esc_arrs], np.uint64)
+    esc_counts = np.asarray([e.shape[0] for e in esc_arrs], np.int32)
+    dt_codes = np.ascontiguousarray(dtypes, np.uint8)
+    outs = [
+        np.empty(int(n), _FINALIZE_DTYPES[int(dc)])
+        for n, dc in zip(ns_c, dt_codes)
+    ]
+    out_ptrs = np.asarray([o.ctypes.data for o in outs], np.uint64)
+    lib.rans_delta_finalize_frames(
+        sym_c.ctypes.data, B, L, Tmax, A,
+        Ts_c.ctypes.data, ns_c.ctypes.data, q0s_c.ctypes.data,
+        esc_ptrs.ctypes.data, esc_counts.ctypes.data,
+        dt_codes.ctypes.data, out_ptrs.ctypes.data,
+    )
+    return outs
+
+
+_FINALIZE_DTYPES = {0: np.int16, 1: np.uint16, 2: np.int32}
+
+
+def contour_finalize_frames(sym3d, H, W, T):
+    """Fused contour decode tail: de-skew + packbits -> (B, H*W/8) u8,
+    or None when the native symbol is missing."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "rans_contour_finalize_frames"):
+        return None
+    B = sym3d.shape[0]
+    sym_c = np.ascontiguousarray(sym3d, np.int32)
+    out = np.empty((B, (H * W + 7) // 8), np.uint8)
+    lib.rans_contour_finalize_frames(
+        sym_c.ctypes.data, B, H, W, T, out.ctypes.data
+    )
+    return out

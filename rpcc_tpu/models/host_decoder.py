@@ -188,9 +188,16 @@ class HostDecoder:
         if self.cfg.basic_compressor == "rans":
             from rpcc_tpu.codec import rans_codec
 
-            resid = rans_codec.decompress_delta_batch(
-                [p["residual_quantized"] for p in packed]
+            delta_magics = (
+                rans_codec.MAGIC_DELTA, rans_codec.MAGIC_CTX, rans_codec.MAGIC_BZD,
             )
+            # Single-frame CLI blobs may pick plain bz2 for small residual
+            # fields (rans_codec.compress candidates) — batch-decode only
+            # genuine delta containers; the rest dispatch on their magic.
+            if all(p["residual_quantized"][0] in delta_magics for p in packed):
+                resid = rans_codec.decompress_delta_batch(
+                    [p["residual_quantized"] for p in packed]
+                )
             if all(p["contour_map"][0] == rans_codec.MAGIC_BITS for p in packed):
                 contour = rans_codec.decompress_contour_batch(
                     [p["contour_map"] for p in packed]

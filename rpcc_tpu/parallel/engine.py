@@ -486,9 +486,16 @@ class BatchEngine:
         if self.cfg.basic_compressor == "rans":
             from rpcc_tpu.codec import rans_codec
 
-            resid_bytes = rans_codec.decompress_delta_batch(
-                [p["residual_quantized"] for p in packed]
+            delta_magics = (
+                rans_codec.MAGIC_DELTA, rans_codec.MAGIC_CTX, rans_codec.MAGIC_BZD,
             )
+            # Batch-decode only genuine delta containers: single-frame CLI
+            # blobs may pick plain bz2 for small residual fields; those
+            # dispatch on their magic through the generic decompress below.
+            if all(p["residual_quantized"][0] in delta_magics for p in packed):
+                resid_bytes = rans_codec.decompress_delta_batch(
+                    [p["residual_quantized"] for p in packed]
+                )
             if all(p["contour_map"][0] == rans_codec.MAGIC_BITS for p in packed):
                 contour_bytes = rans_codec.decompress_contour_batch(
                     [p["contour_map"] for p in packed]
@@ -528,34 +535,30 @@ class BatchEngine:
         for i, s in enumerate(seqs):
             if s is not None:
                 seq[i, : s.shape[0]] = s
-        exc_ok = True
-        exc_pos = np.full((b, EXC_CAP), hw, np.int32)
-        exc_val = np.zeros((b, EXC_CAP), np.int16)
-        stream8 = np.zeros((b, m_stream), np.int8)
+        # Rebuild the i8+exception transfer view vectorized across the
+        # batch (the per-frame loop here was a measurable host cost on the
+        # 1-core rig).
+        stream16 = np.zeros((b, m_stream), np.int16)
         for i, q in enumerate(streams):
-            if q is None:
-                continue
-            mask = np.abs(q.astype(np.int32)) > 127
-            n_exc = int(mask.sum())
-            if n_exc > EXC_CAP:
-                exc_ok = False
-                break
-            s8 = np.where(mask, -128, q).astype(np.int8)
-            stream8[i, : q.shape[0]] = s8
-            pos = np.nonzero(mask)[0]
-            exc_pos[i, :n_exc] = pos
-            exc_val[i, :n_exc] = q[pos]
-        if exc_ok:
+            if q is not None:
+                stream16[i, : q.shape[0]] = q
+        mask = np.abs(stream16.astype(np.int32)) > 127
+        n_exc_per = mask.sum(axis=1)
+        if (n_exc_per <= EXC_CAP).all():
+            stream8 = np.where(mask, np.int16(-128), stream16).astype(np.int8)
+            exc_pos = np.full((b, EXC_CAP), hw, np.int32)
+            exc_val = np.zeros((b, EXC_CAP), np.int16)
+            rows, cols = np.nonzero(mask)  # row-major: sorted by row
+            if rows.size:
+                slot = np.arange(rows.size) - np.searchsorted(rows, rows)
+                exc_pos[rows, slot] = cols
+                exc_val[rows, slot] = stream16[rows, cols]
             dec_fn = self._decode_b_i8
             args = (contour, seq, stream8, models, self._step_arg)
             tail = (exc_pos, exc_val)
         else:
             dec_fn = self._decode_b
-            stream = np.zeros((b, m_stream), np.int16)
-            for i, q in enumerate(streams):
-                if q is not None:
-                    stream[i, : q.shape[0]] = q
-            args = (contour, seq, stream, models, self._step_arg)
+            args = (contour, seq, stream16, models, self._step_arg)
             tail = ()
         if self.cfg.uniform:
             dec = dec_fn(*args, *tail)
@@ -567,21 +570,29 @@ class BatchEngine:
             _copy_async(dec.range_image)
         return dec, len(blobs)
 
-    def _back_project(self, dec, live: int) -> List[np.ndarray]:
-        # Download the (B, H, W) range image, NOT the (B, H, W, 3) cloud: a
-        # trailing dim of 3 is tile-padded to 128 on TPU, making its download
-        # ~42x larger over the wire; back-projection is one host multiply.
-        # In u16 transfer mode the u16 snap view halves it again.
+    def _materialize_ris(self, dec, live: int):
+        """Block on the decode downloads -> ((B, H, W) f32 ranges, live).
+
+        Downloads the (B, H, W) range image, NOT the (B, H, W, 3) cloud: a
+        trailing dim of 3 is tile-padded to 128 on TPU, making its download
+        ~42x larger over the wire; back-projection is one host multiply.
+        In u16 transfer mode the u16 snap view halves it again."""
         if self._u16_down:
             ris = np.asarray(dec.range_u16).astype(np.float32)
             ris *= np.asarray(dec.delta)[:, None, None]
         else:
             ris = np.asarray(dec.range_image)
+        return ris, live
+
+    def _points_from_ris(self, ris: np.ndarray, live: int) -> List[np.ndarray]:
         if not hasattr(self, "_tm_np"):
             from rpcc_tpu.ops.projection import build_transform_map
 
             self._tm_np = build_transform_map(self.lidar)
         return [ris[i][..., None] * self._tm_np for i in range(live)]
+
+    def _back_project(self, dec, live: int) -> List[np.ndarray]:
+        return self._points_from_ris(*self._materialize_ris(dec, live))
 
     def prewarm_fallback_decoder(self) -> None:
         """Compile the full-i16 fallback decoder program up front.
@@ -615,15 +626,27 @@ class BatchEngine:
         return self._back_project(dec, live)
 
     def decode_pipeline(self, blob_batches):
-        """2-deep pipelined decode over an iterable of blob lists: batch k's
-        host entropy-decode + upload overlaps batch k-1's range-image
-        download."""
+        """3-deep, 3-thread pipelined decode over an iterable of blob lists
+        (mirror of ``encode_pipeline``): batch k's host entropy-decode +
+        upload (uploader thread) overlaps batch k-1's range-image download
+        (downloader thread) and batch k-2's back-projection (caller)."""
         from collections import deque
 
-        pending: deque = deque()
+        dispatched: deque = deque()  # futures -> (DecoderOutput, live)
+        staged: deque = deque()  # futures -> (ris, live)
         for blobs in blob_batches:
-            pending.append(self._uploader.submit(self.decode_blobs_device, blobs))
-            if len(pending) >= 2:
-                yield self._back_project(*pending.popleft().result())
-        while pending:
-            yield self._back_project(*pending.popleft().result())
+            dispatched.append(self._uploader.submit(self.decode_blobs_device, blobs))
+            if len(dispatched) >= 2:
+                fut = dispatched.popleft()
+                staged.append(
+                    self._downloader.submit(lambda f=fut: self._materialize_ris(*f.result()))
+                )
+            if len(staged) >= 2:
+                yield self._points_from_ris(*staged.popleft().result())
+        while dispatched:
+            fut = dispatched.popleft()
+            staged.append(
+                self._downloader.submit(lambda f=fut: self._materialize_ris(*f.result()))
+            )
+        while staged:
+            yield self._points_from_ris(*staged.popleft().result())

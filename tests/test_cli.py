@@ -45,6 +45,20 @@ def test_compress_decompress_cli(frame_bin, tmp_path, monkeypatch):
     assert r.shape[0] > 100
     assert np.isfinite(r).all()
 
+    # host decode backend must reconstruct the same point set (rays differ
+    # by float ulps between the in-graph trig and the f64-built table)
+    rec_h = str(tmp_path / "rec_host.bin")
+    run_main(
+        decompress,
+        ["decompress", "--input", out, "--output", rec_h,
+         "--lidar", "VelodyneVLP16", "--cluster_num", "16",
+         "--decode_backend", "host"],
+        monkeypatch,
+    )
+    rh = np.fromfile(rec_h, np.float32).reshape(-1, 4)
+    assert rh.shape[0] == r.shape[0]
+    assert np.abs(rh[:, :3] - r[:, :3]).max() < 1e-3
+
 
 def test_self_describing_cli(frame_bin, tmp_path, monkeypatch):
     from rpcc_tpu.cli import compress, decompress

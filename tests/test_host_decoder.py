@@ -1,0 +1,74 @@
+"""HostDecoder (native C++ / numpy) parity with the device decoder."""
+
+import numpy as np
+import pytest
+
+from rpcc_tpu.config import CodecConfig
+from rpcc_tpu.models.host_decoder import HostDecoder, _decode_frame_np
+from rpcc_tpu.parallel import BatchEngine
+
+from tests.test_roundtrip import SMALL, synth_scene
+
+
+CONFIGS = [
+    CodecConfig(cluster_num=16),
+    CodecConfig(cluster_num=16, modeling_method="plane"),
+    CodecConfig(cluster_num=16, compress_framework="non-uniform"),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=["point", "plane", "nonuniform"])
+def test_host_decode_matches_device(cfg):
+    engine = BatchEngine(SMALL, cfg, batch_size=2, workers=2)
+    clouds = [synth_scene(seed=s) for s in range(2)]
+    results = engine.encode_frames(clouds, seeds=range(2))
+    blobs = [b for b, _ in results]
+    out, _ = engine.encode_batch_device(clouds, seeds=range(2))
+    enc_ri = np.asarray(out.range_image)
+
+    hd = HostDecoder(SMALL, cfg)
+    host_ris = hd.decode_blobs(blobs)
+    dev_pcs = engine.decode_blobs(blobs)
+    bound = cfg.step + (0.0 if cfg.uniform else max(cfg.level_delta_acc))
+    for i in range(2):
+        # error bound vs the encoder's range image
+        assert np.abs(host_ris[i] - enc_ri[i]).max() <= bound + 1e-5
+        # agreement with the device decoder (rays differ by float ulps:
+        # the device recomputes even-dist rays in-graph, the host uses the
+        # f64-built table)
+        dev_ri = np.linalg.norm(dev_pcs[i], axis=-1)
+        assert np.abs(host_ris[i] - dev_ri).max() < 1e-3
+
+
+def test_native_matches_numpy_fallback():
+    cfg = CodecConfig(cluster_num=16)
+    engine = BatchEngine(SMALL, cfg, batch_size=1, workers=2)
+    blob = engine.encode_frames([synth_scene(seed=7)], seeds=[0])[0][0]
+    hd = HostDecoder(SMALL, cfg)
+    fields = hd.entropy_decode_blobs([blob])[0]
+    contour = np.frombuffer(fields["contour_map"], np.uint8)
+    seq = np.frombuffer(fields["idx_sequence"], np.uint16)
+    stream = np.frombuffer(fields["residual_quantized"], np.int16)
+    models = np.frombuffer(fields["plane_param"], np.float32).reshape(-1, 4)
+
+    ri_native = hd.reconstruct(contour, seq, stream, models)
+    ri_np = _decode_frame_np(
+        contour, seq, stream, np.ascontiguousarray(models, np.float32),
+        None, None, cfg.step, hd._tm, hd.H, hd.W,
+    )
+    assert np.array_equal(ri_native, ri_np)
+
+
+def test_decode_blobs_points_zero_drop():
+    cfg = CodecConfig(cluster_num=16)
+    engine = BatchEngine(SMALL, cfg, batch_size=1, workers=2)
+    blob = engine.encode_frames([synth_scene(seed=9)], seeds=[0])[0][0]
+    hd = HostDecoder(SMALL, cfg)
+    ri = hd.decode_blobs([blob])[0]
+    pts = hd.decode_blobs_points([blob])[0]
+    # reference drop rule: sum(xyz) != 0 (dataset/dataset.py:74-75)
+    full = ri.reshape(-1, 1) * hd._tm.T
+    keep = full.sum(-1) != 0
+    assert pts.shape == (int(keep.sum()), 4)
+    assert np.allclose(pts[:, :3], full[keep], atol=0)
+    assert (pts[:, 3] == 0).all()
