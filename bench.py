@@ -1,20 +1,30 @@
-"""Benchmark: the five BASELINE.json configs + decode, on real hardware.
+"""Benchmark: the BASELINE.json configs + decode, on real hardware.
 
 Emits one JSON line per configuration (flushed as each completes) and
 re-prints the headline line (config 1: uniform/point/FPS, default entropy
 coder) LAST so drivers that parse the final line get the headline metric.
 
-Lines:
-  1. kitti64e_e2e_encode  — config 1 e2e + device-only fps, bpp (rans) and
-     reference-parity bzip2 bpp, max depth error guardrail
-  2. kitti64e_e2e_decode  — decode e2e + device-only fps, exactness guardrail
-  3. kitti64e_plane       — config 2 (plane modeling) device fps + bpp
-  4. kitti64e_nonuniform  — config 3 (salience quantization) device fps + bpp
-  5. multi_lidar          — config 4 (32E + VLP16 geometries) device fps + bound
-  6. datalist_e2e         — config 5 (datalist pipeline incl. disk IO)
+Round-3 lines:
+  1. kitti64e_e2e_encode_*        — config 1 e2e across transfer modes
+     (f32 / u16 / i8+device-entropy flagship), device-only fps, bpp (rans)
+     + reference-parity bzip2 bpp, max-depth-error guardrail
+  2. kitti64e_e2e_decode_*        — device decode e2e (u16 downlink) and
+     the native host decoder (wire-free direction)
+  3. kitti64e_plane / nonuniform / dbscan — e2e + device fps + bpp per
+     BASELINE config (DBSCAN segment method included)
+  4. velodyne32e / vlp16          — multi-LiDAR geometries, 32E e2e
+     exercises the uneven-CSV channel table end-to-end
+  5. kitti64e_datalist_e2e        — datalist pipeline incl. disk IO
+     (prefetcher + lean loader + flagship engine)
 
-vs_baseline: the reference implementation runs single-digit fps end-to-end on
-its GPU-assisted path (BASELINE.md); 5 frames/s is the denominator.
+HEADLINE POLICY (VERDICT r2 #3): the parsed ``value`` is the MEDIAN of
+>= 3 sustained windows measured back-to-back at the end of the run; every
+window is disclosed in named fields.  This rig's tunnel throughput drifts
+tens of percent over minutes — medians, not best-of, are the defensible
+claim.
+
+vs_baseline: the reference implementation runs single-digit fps end-to-end
+on its GPU-assisted path (BASELINE.md); 5 frames/s is the denominator.
 """
 
 from __future__ import annotations
@@ -33,23 +43,22 @@ BASELINE_FPS = 5.0
 EXAMPLE = "/root/reference/assets/example_data/example.bin"
 BATCH = 64  # amortizes per-call dispatch/roundtrip latency (A/B: +11-18% vs 32)
 BATCHES_TIMED = 6
-WALL_WINDOW_S = 45.0
+WALL_WINDOW_S = 30.0
+HEADLINE_WINDOWS = 3
 
 
 def emit(obj) -> None:
     print(json.dumps(obj), flush=True)
 
 
-def device_fps(engine, pts, seeds, step, n_chips: int, reps: int = 6, deltas=None) -> float:
+def device_fps(engine, dev_args, n_chips: int, reps: int = 6) -> float:
     """Sustained device throughput: queue all reps (async dispatch overlaps
     the per-call host/tunnel latency, exactly like the production pipeline)
     and block once at the end."""
     import jax
 
     def call():
-        if deltas is not None:
-            return engine._encode_b(pts, seeds, step, deltas)
-        return engine._encode_b(pts, seeds, step)
+        return engine._encode_b(*dev_args)
 
     jax.block_until_ready(call())
     t0 = time.perf_counter()
@@ -57,30 +66,42 @@ def device_fps(engine, pts, seeds, step, n_chips: int, reps: int = 6, deltas=Non
     for _ in range(reps):
         out = call()
     jax.block_until_ready(out)
-    return reps * pts.shape[0] / (time.perf_counter() - t0) / n_chips
+    return reps * dev_args[0].shape[0] / (time.perf_counter() - t0) / n_chips
 
 
-def bench_config(name, lidar, cfg, pc, n_chips, e2e=False, extra=None):
+def _device_args(engine, clouds):
+    """Upload one stacked batch; returns the positional args of _encode_b."""
+    import jax
+
+    seeds = jax.device_put(np.arange(engine.batch_size, dtype=np.uint32))
+    if engine._d8:
+        d8, deltas, exc_pd, exc_val, n_exc, _ = engine._stack_d8(clouds)
+        return tuple(
+            jax.device_put(a)
+            for a in (d8, seeds, engine._step_arg, deltas, exc_pd, exc_val, n_exc)
+        )
+    pts, deltas, _ = engine._stack(clouds)
+    args = (jax.device_put(pts), seeds, engine._step_arg)
+    if deltas is not None:
+        args += (jax.device_put(deltas),)
+    return args
+
+
+def bench_config(name, lidar, cfg, pc, n_chips, e2e=False, extra=None, batch=None):
     """Device fps (+ optional e2e fps) and quality guardrails for one config."""
     import jax
 
     from rpcc_tpu.parallel import BatchEngine
 
-    engine = BatchEngine(lidar, cfg, batch_size=BATCH, workers=8)
-    clouds = [pc] * BATCH
-    results = engine.encode_frames(clouds, seeds=range(BATCH))  # warm-up
+    engine = BatchEngine(lidar, cfg, batch_size=batch or BATCH, workers=8)
+    clouds = [pc] * engine.batch_size
+    results = engine.encode_frames(clouds, seeds=range(engine.batch_size))  # warm-up
     blob0 = results[0][0]
 
-    pts_np, deltas_np, _ = engine._stack(clouds)
-    pts = jax.device_put(pts_np)
-    deltas = None if deltas_np is None else jax.device_put(deltas_np)
-    seeds = jax.device_put(np.arange(BATCH, dtype=np.uint32))
-    dev_fps = device_fps(engine, pts, seeds, engine._step_arg, n_chips, deltas=deltas)
+    dev_args = _device_args(engine, clouds)
+    dev_fps = device_fps(engine, dev_args, n_chips)
 
-    if deltas is not None:
-        out = jax.block_until_ready(engine._encode_b(pts, seeds, engine._step_arg, deltas))
-    else:
-        out = jax.block_until_ready(engine._encode_b(pts, seeds, engine._step_arg))
+    out = jax.block_until_ready(engine._encode_b(*dev_args))
     ri = np.asarray(out.range_image[0])
     n_pts = max(int((ri > 0).sum()), 1)
     bpp = len(blob0) * 8 / n_pts
@@ -88,6 +109,8 @@ def bench_config(name, lidar, cfg, pc, n_chips, e2e=False, extra=None):
     dec = engine.decode_blobs([blob0])
     rec_ri = np.linalg.norm(dec[0], axis=-1)
     bound = cfg.step + (0.0 if cfg.uniform else max(cfg.level_delta_acc))
+    if cfg.transfer_precision in ("u16", "i8"):
+        bound += cfg.step / 16.0 / 2.0  # decode-side snap floor
     max_err = float(np.abs(rec_ri - ri).max())
 
     line = {
@@ -127,7 +150,9 @@ def measure_e2e(engine, pc, n_chips: int) -> float:
         while k < BATCHES_TIMED or (
             time.perf_counter() - t_start < WALL_WINDOW_S and k < 30
         ):
-            yield [variants[k % len(variants)]] * BATCH, range(k * BATCH, (k + 1) * BATCH)
+            yield [variants[k % len(variants)]] * engine.batch_size, range(
+                k * engine.batch_size, (k + 1) * engine.batch_size
+            )
             k += 1
 
     arrivals = []
@@ -136,7 +161,9 @@ def measure_e2e(engine, pc, n_chips: int) -> float:
     deltas = sorted(
         b - a for a, b in zip(arrivals[1:-1], arrivals[2:])
     )  # skip pipeline ramp-up
-    return BATCH / deltas[len(deltas) // 2] / n_chips if deltas else 0.0
+    return (
+        engine.batch_size / deltas[len(deltas) // 2] / n_chips if deltas else 0.0
+    )
 
 
 def _jittered_variants(pc: np.ndarray, k: int):
@@ -149,6 +176,32 @@ def _jittered_variants(pc: np.ndarray, k: int):
     ]
 
 
+def _decode_batches(engine, pc, k=3):
+    """Distinct frames AND distinct batches so transfer caching can't
+    flatter decode numbers."""
+    clouds = [v for v in _jittered_variants(pc, 8) for _ in range(8)][: engine.batch_size]
+    return [
+        [
+            b
+            for b, _ in engine.encode_frames(
+                clouds, seeds=range(j * engine.batch_size, (j + 1) * engine.batch_size)
+            )
+        ]
+        for j in range(k)
+    ]
+
+
+def measure_decode(engine, dec_batches, n_chips, reps=8) -> float:
+    engine.decode_blobs(dec_batches[0])  # warm
+    t0 = time.perf_counter()
+    n = 0
+    for recs in engine.decode_pipeline(
+        dec_batches[k % len(dec_batches)] for k in range(reps)
+    ):
+        n += len(recs)
+    return n / (time.perf_counter() - t0) / n_chips
+
+
 def main() -> None:
     import jax
 
@@ -159,126 +212,127 @@ def main() -> None:
     lidar64 = LidarConfig.from_yaml(__lidar_cfg__["Velodyne64E"], name="Velodyne64E")
     pc = load_point_cloud(EXAMPLE).astype(np.float32)
     n_chips = max(1, len(jax.devices()))
+    variants = _jittered_variants(pc, 8)
 
     # ---- config 1 (headline): uniform / point / FPS / default coder (rans)
-    cfg1 = CodecConfig()
-    head, engine1, blob1, ri1 = bench_config(
-        "kitti64e_e2e_encode_throughput_acc0.02_" + cfg1.basic_compressor,
-        lidar64, cfg1, pc, n_chips, e2e=True,
+    # flagship transfer mode: i8 row-delta uplink + on-device rANS entropy
+    cfg_flag = CodecConfig(transfer_precision="i8", device_entropy=True)
+    head, engine_flag, blob1, ri1 = bench_config(
+        "kitti64e_e2e_encode_throughput_acc0.02_rans",
+        lidar64, cfg_flag, pc, n_chips, e2e=True,
+        extra={"transfer": "i8", "entropy": "device"},
     )
+    # warm the jittered-content exception bucket so no mid-window compiles
+    engine_flag.encode_frames([variants[0]] * BATCH, seeds=range(BATCH))
     # reference-parity coder's bpp for the same frame
+    from rpcc_tpu.codec.bitstream import pack_bitstream
     from rpcc_tpu.codec.entropy import BasicCompressor
 
-    fields1 = engine1.encode_frames([pc], seeds=[0])[0][1]
-    bz = BasicCompressor(method_name="bzip2")
-    from rpcc_tpu.codec.bitstream import pack_bitstream
+    fields1 = engine_flag.encode_frames([pc], seeds=[0])[0][1]
+    # device-entropy fields carry only host-visible fields; re-encode the
+    # frame on a host-entropy engine for the bzip2 comparison
+    cfg1 = CodecConfig()
+    from rpcc_tpu.parallel import BatchEngine
 
+    eng_host = BatchEngine(lidar64, cfg1, batch_size=8, workers=8)
+    fields_h = eng_host.encode_frames([pc], seeds=[0])[0][1]
+    bz = BasicCompressor(method_name="bzip2")
     n_pts = max(int((ri1 > 0).sum()), 1)
     head["bpp_bzip2"] = round(
-        len(pack_bitstream(bz.compress_dict(fields1), uniform=True)) * 8 / n_pts, 4
+        len(pack_bitstream(bz.compress_dict(fields_h), uniform=True)) * 8 / n_pts, 4
     )
     emit(head)
 
-    # ---- decode (config 1 blobs; distinct frames AND distinct batches, so
-    # transfer caching can't flatter the numbers — same methodology as the
-    # encode windows)
-    def _blob_batches(engine, k=3):
-        clouds = [v for v in _jittered_variants(pc, 8) for _ in range(4)][:BATCH]
-        return [
-            [b for b, _ in engine.encode_frames(clouds, seeds=range(j * BATCH, (j + 1) * BATCH))]
-            for j in range(k)  # different seeds -> different bitstreams
-        ]
+    # ---- u16 and f32 transfer modes (continuity with r1/r2 metric names)
+    line16, engine16, blob16, ri16 = bench_config(
+        "kitti64e_e2e_encode_u16_transfer_acc0.02_rans",
+        lidar64, CodecConfig(transfer_precision="u16", device_entropy=True),
+        pc, n_chips, e2e=True, extra={"transfer": "u16", "entropy": "device"},
+    )
+    emit(line16)
 
-    dec_batches = _blob_batches(engine1)
-    engine1.decode_blobs(dec_batches[0])  # warm
-    reps = 8
-    t0 = time.perf_counter()
-    for recs in engine1.decode_pipeline(
-        [dec_batches[k % len(dec_batches)] for k in range(reps)]
-    ):
-        pass
-    dec_e2e = reps * BATCH / (time.perf_counter() - t0) / n_chips
-    recs0 = engine1.decode_blobs([blob1])
-    rec_ri = np.linalg.norm(recs0[0], axis=-1)
+    # ---- decode: device pipeline (u16 downlink) + native host decoder
+    dec_batches = _decode_batches(engine_flag, pc)
+    dec_dev = measure_decode(engine_flag, dec_batches, n_chips)
+    rec_ri = np.linalg.norm(engine_flag.decode_blobs([blob1])[0], axis=-1)
+    delta_dec = float(cfg1.step) / 16.0
     emit(
         {
-            "metric": "kitti64e_e2e_decode_throughput_acc0.02_" + cfg1.basic_compressor,
-            "value": round(dec_e2e, 3),
+            "metric": "kitti64e_e2e_decode_u16_transfer_acc0.02_rans",
+            "value": round(dec_dev, 3),
             "unit": "frames/s/chip",
-            "vs_baseline": round(dec_e2e / BASELINE_FPS, 3),
+            "vs_baseline": round(dec_dev / BASELINE_FPS, 3),
             "max_depth_err": round(float(np.abs(rec_ri - ri1).max()), 5),
-            "err_bound": round(cfg1.step + 1e-5, 5),
-            "chips": n_chips,
-        }
-    )
-
-    # ---- config 1b: u16 transfer precision (half the wire bytes in both
-    # directions; each per-frame snap adds <= delta/2 = accuracy/16
-    # reconstruction error vs the raw cloud — max_depth_err below is vs the
-    # snapped encode-side range image)
-    line, engine16, blob16, ri16 = bench_config(
-        "kitti64e_e2e_encode_u16_transfer_acc0.02_" + cfg1.basic_compressor,
-        lidar64, CodecConfig(transfer_precision="u16"), pc, n_chips, e2e=True,
-        extra={"transfer": "u16"},
-    )
-    emit(line)
-    dec16_batches = _blob_batches(engine16)
-    engine16.decode_blobs(dec16_batches[0])  # warm
-    t0 = time.perf_counter()
-    for recs in engine16.decode_pipeline(
-        [dec16_batches[k % len(dec16_batches)] for k in range(reps)]
-    ):
-        pass
-    dec16 = reps * BATCH / (time.perf_counter() - t0) / n_chips
-    rec16 = np.linalg.norm(engine16.decode_blobs([blob16])[0], axis=-1)
-    delta_dec = float(cfg1.step) / 16.0  # decode-side snap floor
-    emit(
-        {
-            "metric": "kitti64e_e2e_decode_u16_transfer_acc0.02_" + cfg1.basic_compressor,
-            "value": round(dec16, 3),
-            "unit": "frames/s/chip",
-            "vs_baseline": round(dec16 / BASELINE_FPS, 3),
-            "max_depth_err": round(float(np.abs(rec16 - ri16).max()), 5),
             "err_bound": round(cfg1.step + delta_dec / 2 + 1e-5, 5),
             "transfer": "u16",
             "chips": n_chips,
         }
     )
 
-    # ---- config 1c: everything on device — u16 transfer + on-device rANS
-    # (the engine downloads ~30 KB/frame of compressed words instead of the
-    # residual/contour transfer views and skips the host entropy encode)
-    line, engine_de, _, _ = bench_config(
-        "kitti64e_e2e_encode_device_entropy_acc0.02_rans",
-        lidar64,
-        CodecConfig(transfer_precision="u16", device_entropy=True),
-        pc, n_chips, e2e=True,
-        extra={"transfer": "u16", "entropy": "device"},
-    )
-    emit(line)
+    from rpcc_tpu.models.host_decoder import HostDecoder
 
-    # ---- config 2: plane modeling
+    hd = HostDecoder(lidar64, cfg_flag)
+    hd.decode_blobs_points(dec_batches[0][:8])  # warm native lib
+    t0 = time.perf_counter()
+    n_dec = 0
+    for k in range(8):
+        n_dec += len(hd.decode_blobs_points(dec_batches[k % len(dec_batches)]))
+    host_dec = n_dec / (time.perf_counter() - t0)
+    ri_host = hd.decode_blobs([blob1])[0]
+    emit(
+        {
+            "metric": "kitti64e_e2e_decode_host_native_acc0.02_rans",
+            "value": round(host_dec, 3),
+            "unit": "frames/s (host, no device)",
+            "vs_baseline": round(host_dec / BASELINE_FPS, 3),
+            "max_depth_err": round(float(np.abs(ri_host - ri1).max()), 5),
+            "err_bound": round(cfg1.step + 1e-5, 5),
+            "backend": "host",
+            "chips": 0,
+        }
+    )
+
+    # ---- config 2: plane modeling (e2e + device)
     line, _, _, _ = bench_config(
         "kitti64e_plane_modeling_acc0.02", lidar64,
-        CodecConfig(modeling_method="plane"), pc, n_chips,
+        CodecConfig(modeling_method="plane", transfer_precision="i8",
+                    device_entropy=True),
+        pc, n_chips, e2e=True, extra={"transfer": "i8", "entropy": "device"},
     )
     emit(line)
 
-    # ---- config 3: non-uniform (salience) quantization
+    # ---- config 3: non-uniform (salience) quantization (e2e + device)
     line, _, _, _ = bench_config(
         "kitti64e_nonuniform_acc0.02", lidar64,
-        CodecConfig(compress_framework="non-uniform"), pc, n_chips,
+        CodecConfig(compress_framework="non-uniform", transfer_precision="i8",
+                    device_entropy=True),
+        pc, n_chips, e2e=True, extra={"transfer": "i8", "entropy": "device"},
     )
     emit(line)
 
-    # ---- config 4: multi-LiDAR geometries (32E + VLP16)
-    for name in ("Velodyne32E", "VelodyneVLP16"):
+    # ---- config 3b: DBSCAN segmentation (e2e + device)
+    line, _, _, _ = bench_config(
+        "kitti64e_dbscan_acc0.02", lidar64,
+        CodecConfig(segment_method="DBSCAN", transfer_precision="i8",
+                    device_entropy=True),
+        pc, n_chips, e2e=True, extra={"transfer": "i8", "entropy": "device",
+                                      "segment": "DBSCAN"},
+    )
+    emit(line)
+
+    # ---- config 4: multi-LiDAR geometries (32E + VLP16); the 32E line
+    # runs e2e, exercising the uneven-CSV vertical-channel table through
+    # the full host-projection + device pipeline
+    for name, csv_e2e in (("Velodyne32E", True), ("VelodyneVLP16", False)):
         lidar = LidarConfig.from_yaml(
             __lidar_cfg__[name], __lidar_csv__[name], name=name
         )
         pcl = synth_cloud_for(lidar)
         line, _, _, _ = bench_config(
-            f"{name.lower()}_uniform_acc0.02", lidar, CodecConfig(), pcl, n_chips,
+            f"{name.lower()}_uniform_acc0.02", lidar,
+            CodecConfig(transfer_precision="u16", device_entropy=True),
+            pcl, n_chips, e2e=csv_e2e,
+            extra={"channels": "csv" if not lidar.even_dist else "even"},
         )
         emit(line)
 
@@ -287,59 +341,63 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as td:
         files = []
-        dl_variants = _jittered_variants(pc, 8)
         for i in range(BATCH * 6):  # enough batches to amortize pipeline ramp
             p = os.path.join(td, f"frames/{i:06d}.bin")
             os.makedirs(os.path.dirname(p), exist_ok=True)
-            v = dl_variants[i % len(dl_variants)]
+            v = variants[i % len(variants)]
             np.concatenate([v, np.zeros((v.shape[0], 1), np.float32)], -1).tofile(p)
             files.append(p)
         from rpcc_tpu.cli.compress_datalist import output_path_for
         from rpcc_tpu.data.pointcloud_io import load_point_cloud_f32
         from rpcc_tpu.parallel import prefetch_loaded_batches
 
-        t0 = time.perf_counter()
-        done = 0
-        dl_gen = prefetch_loaded_batches(
-            files, BATCH, lambda i: load_point_cloud_f32(files[i]), workers=4
-        )
-        name_chunks = [files[s : s + BATCH] for s in range(0, len(files), BATCH)]
-        for chunk, results in zip(name_chunks, engine_de.encode_pipeline(dl_gen)):
-            for (blob, _f), name in zip(results, chunk):
-                with open(output_path_for(name, td + "/out", "rpcc"), "wb") as f:
-                    f.write(blob)
-                done += 1
-        dl_fps = done / (time.perf_counter() - t0) / n_chips
+        dl_rates = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            done = 0
+            dl_gen = prefetch_loaded_batches(
+                files, BATCH, lambda i: load_point_cloud_f32(files[i]), workers=8,
+                depth=2,
+            )
+            name_chunks = [files[s : s + BATCH] for s in range(0, len(files), BATCH)]
+            for chunk, results in zip(name_chunks, engine_flag.encode_pipeline(dl_gen)):
+                for (blob, _f), name in zip(results, chunk):
+                    with open(
+                        output_path_for(name, td + f"/out{rep}", "rpcc"), "wb"
+                    ) as f:
+                        f.write(blob)
+                    done += 1
+            dl_rates.append(done / (time.perf_counter() - t0) / n_chips)
+        dl_rates.sort()
+        dl_fps = dl_rates[len(dl_rates) // 2]
     emit(
         {
-            "metric": "kitti64e_datalist_e2e_acc0.02_" + cfg1.basic_compressor,
+            "metric": "kitti64e_datalist_e2e_acc0.02_rans",
             "value": round(dl_fps, 3),
             "unit": "frames/s/chip",
             "vs_baseline": round(dl_fps / BASELINE_FPS, 3),
-            "frames": done,
-            "transfer": "u16",
+            "frames": len(files),
+            "windows": [round(r, 1) for r in dl_rates],
+            "transfer": "i8",
             "entropy": "device",
             "chips": n_chips,
         }
     )
 
-    # Headline last: drivers that parse the final line get it.  The tunneled
-    # dev rig's throughput drifts tens of percent over minutes, so re-measure
-    # the two encode engines back-to-back now (everything warm) and report
-    # the best sustained config, with every window shown.
-    final_host = measure_e2e(engine1, pc, n_chips)
-    final_dev = measure_e2e(engine_de, pc, n_chips)
-    first_fps = float(head["value"])
-    best = max(first_fps, final_host, final_dev)
-    head["first_window_fps"] = round(first_fps, 3)
-    head["final_window_fps"] = round(final_host, 3)
-    head["final_device_entropy_fps"] = round(final_dev, 3)
-    head["config"] = (
-        "device_entropy+u16" if best == final_dev and best > final_host
-        else "host_entropy_f32"
-    )
-    head["value"] = round(best, 3)
-    head["vs_baseline"] = round(best / BASELINE_FPS, 3)
+    # Headline last: drivers that parse the final line get it.  MEDIAN of
+    # >= 3 sustained windows measured back-to-back (everything warm), all
+    # windows disclosed — the tunneled rig drifts tens of percent over
+    # minutes, so a median, not a best-of, is the defensible claim.
+    windows = [float(head["value"])]
+    for _ in range(HEADLINE_WINDOWS - 1):
+        windows.append(measure_e2e(engine_flag, pc, n_chips))
+    ordered = sorted(windows)
+    med = ordered[len(ordered) // 2]
+    head["value"] = round(med, 3)
+    head["vs_baseline"] = round(med / BASELINE_FPS, 3)
+    head["windows_fps"] = [round(w, 3) for w in windows]
+    head["best_window_fps"] = round(ordered[-1], 3)
+    head["config"] = "device_entropy+i8"
     emit(head)
 
 

@@ -159,17 +159,31 @@ def _drain(pending, engine, args) -> int:
     if args.eval and blobs:
         # Per-frame reconstruction quality (reference --output --eval path,
         # tools/compress_datalist.py:163-199): decode the batch we just
-        # wrote and report the depth-error bound check.
+        # wrote and report depth error + chamfer distance + F1 per frame,
+        # matching the reference's per-frame eval report.
+        from rpcc_tpu.metrics import calc_chamfer_distance
+        from rpcc_tpu.ops.projection import build_transform_map
+
+        tm = build_transform_map(engine.lidar)
         ris = np.asarray(out.range_image)
         decoded = engine.decode_blobs(blobs)
         bound = engine.cfg.step + (
             0.0 if engine.cfg.uniform else max(engine.cfg.level_delta_acc)
         )
+        if engine.cfg.transfer_precision in ("u16", "i8"):
+            bound += engine.cfg.step / 16.0 / 2.0  # decode-side snap floor
         for i, name in enumerate(names[: len(decoded)]):
             rec_ri = np.linalg.norm(decoded[i], axis=-1)
             err = float(np.abs(rec_ri - ris[i]).max())
             status = "OK" if err <= bound + 1e-5 else "RECONSTRUCTION ERROR"
-            print(f"eval {name}: max depth error {err:.5f} (bound {bound:.5f}) {status}")
+            orig_pc = ris[i][..., None] * tm
+            cd = calc_chamfer_distance(
+                orig_pc.reshape(-1, 3), decoded[i].reshape(-1, 3), out=False
+            )
+            print(
+                f"eval {name}: max depth error {err:.5f} (bound {bound:.5f}) "
+                f"chamfer {cd['mean']:.6f} F1 {cd['f_score']:.4f} {status}"
+            )
     return errors
 
 

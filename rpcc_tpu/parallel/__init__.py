@@ -11,3 +11,4 @@ device compute via async dispatch + a thread pool.
 from rpcc_tpu.parallel.mesh import data_mesh
 from rpcc_tpu.parallel.engine import BatchEngine
 from rpcc_tpu.parallel.prefetch import prefetch_loaded_batches
+from rpcc_tpu.parallel.aggregate import batch_report, make_stats_aggregator

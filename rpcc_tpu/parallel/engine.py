@@ -425,6 +425,27 @@ class BatchEngine:
 
         return list(self._pool.map(one, range(live)))
 
+    def sharded_stats(self, out, blob_sizes: Sequence[int]) -> Dict[str, float]:
+        """Global frames/points/bits/bpp across the mesh via ONE ICI psum
+        (SURVEY §2.3's only collective use — metric aggregation; the codec
+        itself has no cross-frame communication).  ``out`` is a sharded
+        EncoderOutput batch; ``blob_sizes`` the per-frame payload bytes."""
+        if self.mesh is None:
+            raise ValueError("sharded_stats needs a mesh-backed engine")
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from rpcc_tpu.parallel.aggregate import batch_report, make_stats_aggregator
+
+        if not hasattr(self, "_agg"):
+            self._agg = make_stats_aggregator(self.mesh)
+        bits = np.zeros((self.batch_size,), np.int32)
+        bits[: len(blob_sizes)] = np.asarray(blob_sizes, np.int64) * 8
+        bits_dev = jax.device_put(bits, NamedSharding(self.mesh, P("data")))
+        # stream_len = live (nonzero) pixels per frame = point count
+        totals = self._agg(out.stream_len, bits_dev)
+        return batch_report(np.asarray(totals))
+
     def encode_batch_async(self, clouds: Sequence[np.ndarray], seeds=None):
         """Stack + upload + dispatch on the uploader thread; returns a
         future resolving to (EncoderOutput, live_count)."""

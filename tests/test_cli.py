@@ -108,6 +108,71 @@ def test_datalist_cli_roundtrip(frame_bin, tmp_path, monkeypatch):
     bins = glob.glob(rec_dir + "/**/*.bin", recursive=True)
     assert len(bins) == 1
 
+    # host decode backend writes an equivalent point set with no device
+    rec_h = str(tmp_path / "rec_host")
+    run_main(
+        decompress_datalist,
+        ["decompress_datalist", "--datalist", str(rpcc_list), "--output_dir", rec_h,
+         "--lidar", "VelodyneVLP16", "--cluster_num", "16", "--batch", "2",
+         "--workers", "1", "--decode_backend", "host"],
+        monkeypatch,
+    )
+    bins_h = glob.glob(rec_h + "/**/*.bin", recursive=True)
+    assert len(bins_h) == 1
+    a = np.fromfile(bins[0], np.float32).reshape(-1, 4)
+    b = np.fromfile(bins_h[0], np.float32).reshape(-1, 4)
+    assert a.shape == b.shape
+    assert np.abs(a[:, :3] - b[:, :3]).max() < 1e-3
+
+
+def test_datalist_eval_reports_chamfer(frame_bin, tmp_path, monkeypatch, capsys):
+    """--output --eval prints per-frame depth error + chamfer + F1
+    (reference tools/compress_datalist.py:163-199 parity)."""
+    from rpcc_tpu.cli import compress_datalist
+
+    datalist = tmp_path / "list.txt"
+    datalist.write_text(frame_bin + "\n")
+    run_main(
+        compress_datalist,
+        ["compress_datalist", "--datalist", str(datalist),
+         "--output_dir", str(tmp_path / "out"), "--lidar", "VelodyneVLP16",
+         "--cluster_num", "16", "--batch", "2", "--workers", "1",
+         "--output", "--eval"],
+        monkeypatch,
+    )
+    outp = capsys.readouterr().out
+    assert "max depth error" in outp
+    assert "chamfer" in outp and "F1" in outp and "OK" in outp
+
+
+def test_csv_lidar_cli_roundtrip(tmp_path, monkeypatch):
+    """Uneven-CSV vertical channels (32E) through the full CLI path:
+    host projection (nearest-angle rows) -> encode -> decode."""
+    from rpcc_tpu.cli import compress, decompress
+    from tests.test_roundtrip import synth_scene
+
+    pc = synth_scene(seed=11)
+    frame = tmp_path / "f32e.bin"
+    np.concatenate([pc, np.zeros((pc.shape[0], 1), np.float32)], -1).astype(
+        np.float32
+    ).tofile(frame)
+    out = str(tmp_path / "f32e.rpcc")
+    rec = str(tmp_path / "f32e_rec.bin")
+    run_main(
+        compress,
+        ["compress", "--input", str(frame), "--output", out,
+         "--lidar", "Velodyne32E", "--cluster_num", "16", "--eval"],
+        monkeypatch,
+    )
+    run_main(
+        decompress,
+        ["decompress", "--input", out, "--output", rec,
+         "--lidar", "Velodyne32E", "--cluster_num", "16"],
+        monkeypatch,
+    )
+    r = np.fromfile(rec, np.float32).reshape(-1, 4)
+    assert r.shape[0] > 100 and np.isfinite(r).all()
+
 
 def test_datalist_keep_going_with_bad_file(frame_bin, tmp_path, monkeypatch, capsys):
     from rpcc_tpu.cli import compress_datalist

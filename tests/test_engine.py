@@ -39,6 +39,27 @@ def test_engine_sharded_roundtrip_over_mesh():
     assert len(dec16) == 8
 
 
+def test_engine_sharded_stats_psum():
+    """psum metric aggregation over the mesh matches the host-side sums
+    and every batched encoder output is batch-sharded (not replicated)."""
+    mesh = data_mesh(8)
+    cfg = CodecConfig(cluster_num=16)
+    engine = BatchEngine(SMALL, cfg, batch_size=8, mesh=mesh, workers=2)
+    clouds = [synth_scene(seed=s) for s in range(8)]
+    out, live = engine.encode_batch_device(clouds, seeds=range(8))
+    for name in ("range_image", "stream", "contour_packed", "sequence",
+                 "model_param", "stream_len"):
+        arr = getattr(out, name)
+        assert not arr.sharding.is_fully_replicated, name
+        assert len(arr.sharding.device_set) == 8, name
+    blobs = [b for b, _ in engine.finalize_encoded(out, live)]
+    report = engine.sharded_stats(out, [len(b) for b in blobs])
+    assert report["frames"] == 8
+    assert report["points"] == int(np.asarray(out.stream_len).sum())
+    assert report["bits"] == sum(len(b) * 8 for b in blobs)
+    assert report["bpp"] > 0
+
+
 def test_engine_device_entropy_roundtrip_and_rate():
     """device_entropy=True: the residual/contour fields are rANS-coded on
     device; blobs must decode exactly like host-coded ones and the rate must
