@@ -158,12 +158,15 @@ def measure_e2e(engine, pc, n_chips: int) -> float:
     arrivals = []
     for _results in engine.encode_pipeline(batch_gen()):
         arrivals.append(time.perf_counter())
-    deltas = sorted(
-        b - a for a, b in zip(arrivals[1:-1], arrivals[2:])
-    )  # skip pipeline ramp-up
-    return (
-        engine.batch_size / deltas[len(deltas) // 2] / n_chips if deltas else 0.0
-    )
+    # Steady-state rate = batches completed per wall second between the
+    # first and last arrival (the first absorbs the pipeline fill).  NOT a
+    # median of inter-arrival gaps: queued batches drain in bunches when
+    # the device is the bottleneck, which makes gap medians wildly
+    # overestimate a slow graph.
+    if len(arrivals) < 2:
+        return 0.0
+    span = arrivals[-1] - arrivals[0]
+    return (len(arrivals) - 1) * engine.batch_size / span / n_chips if span > 0 else 0.0
 
 
 def _jittered_variants(pc: np.ndarray, k: int):
@@ -321,17 +324,24 @@ def main() -> None:
     emit(line)
 
     # ---- config 4: multi-LiDAR geometries (32E + VLP16); the 32E line
-    # runs e2e, exercising the uneven-CSV vertical-channel table through
-    # the full host-projection + device pipeline
-    for name, csv_e2e in (("Velodyne32E", True), ("VelodyneVLP16", False)):
-        lidar = LidarConfig.from_yaml(
-            __lidar_cfg__[name], __lidar_csv__[name], name=name
-        )
+    # runs e2e WITH the example per-channel CSV (uneven vertical channels),
+    # exercising the nearest-angle row table through the full
+    # host-projection + device pipeline (the registry default is None,
+    # matching the reference's dataset/__init__.py:29-37)
+    csv_32e = os.path.join(
+        REPO, "rpcc_tpu/data/lidar_cfg",
+        "example-Velodyne_HDL_32E_vertical_channel_distribution.csv",
+    )
+    for name, csv, e2e_on in (
+        ("Velodyne32E", csv_32e, True),
+        ("VelodyneVLP16", None, False),
+    ):
+        lidar = LidarConfig.from_yaml(__lidar_cfg__[name], csv, name=name)
         pcl = synth_cloud_for(lidar)
         line, _, _, _ = bench_config(
             f"{name.lower()}_uniform_acc0.02", lidar,
             CodecConfig(transfer_precision="u16", device_entropy=True),
-            pcl, n_chips, e2e=csv_e2e,
+            pcl, n_chips, e2e=e2e_on,
             extra={"channels": "csv" if not lidar.even_dist else "even"},
         )
         emit(line)

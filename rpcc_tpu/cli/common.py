@@ -37,6 +37,11 @@ def add_codec_args(parser: argparse.ArgumentParser, datalist: bool = False) -> N
         parser.add_argument("--input", help="single frame input for static compression.")
         parser.add_argument("--output", help="output bitstream.")
     parser.add_argument("--lidar", help="lidar type of this point cloud collection.")
+    parser.add_argument(
+        "--channel_distribute_csv", default=None,
+        help="per-channel vertical-angle CSV for uneven LiDARs (overrides "
+        "the registry default; reference dataset/transformer.py:13-22)",
+    )
     parser.add_argument("--compressor_yaml", default=DEFAULT_CODEC_YAML)
     parser.add_argument("--basic_compressor", type=str, default=None, help="for manual setting.")
     parser.add_argument("--accuracy", type=float, default=None, help="for manual setting.")
@@ -97,6 +102,7 @@ def lidar_from_args(args: argparse.Namespace) -> LidarConfig:
     assert args.lidar in __lidar_cfg__, (
         f"unknown --lidar {args.lidar}; choose from {sorted(__lidar_cfg__)}"
     )
+    csv = getattr(args, "channel_distribute_csv", None) or __lidar_csv__[args.lidar]
     return LidarConfig.from_yaml(
-        __lidar_cfg__[args.lidar], __lidar_csv__[args.lidar], name=args.lidar
+        __lidar_cfg__[args.lidar], csv, name=args.lidar
     )

@@ -15,6 +15,10 @@ from rpcc_tpu.cli.common import add_codec_args, config_from_args, lidar_from_arg
 from rpcc_tpu.cli.compress_datalist import output_path_for
 from rpcc_tpu.data.pointcloud_io import save_point_cloud
 
+def _read_bytes(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()
+
 
 def main() -> None:
     parser = argparse.ArgumentParser()
@@ -69,7 +73,7 @@ def main() -> None:
         for start in range(0, len(file_list), args.batch):
             names = file_list[start : start + args.batch]
             try:
-                blobs = [open(fp, "rb").read() for fp in names]
+                blobs = [_read_bytes(fp) for fp in names]
                 pcs = engine.decode_blobs(blobs)
             except Exception as e:
                 print(f"ERROR decoding batch at {names[0]}: {e}")
@@ -91,7 +95,7 @@ def main() -> None:
 
         def gen():
             for names in name_batches:
-                yield [open(fp, "rb").read() for fp in names]
+                yield [_read_bytes(fp) for fp in names]
 
         for names, pcs in zip(name_batches, engine.decode_pipeline(gen())):
             def write(i: int) -> None:
@@ -117,7 +121,7 @@ def _host_decode_datalist(args, cfg, lidar, file_list, io_pool) -> int:
     for start in range(0, len(file_list), args.batch):
         names = file_list[start : start + args.batch]
         try:
-            blobs = list(io_pool.map(lambda fp: open(fp, "rb").read(), names))
+            blobs = list(io_pool.map(_read_bytes, names))
             pts = hd.decode_blobs_points(blobs)
         except Exception as e:
             if not args.keep_going:

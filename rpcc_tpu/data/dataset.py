@@ -152,3 +152,27 @@ class DatasetTemplate:
 
     def save_point_cloud_to_file(self, file: str, point_cloud: np.ndarray, color=None) -> None:
         save_point_cloud(file, point_cloud.reshape(-1, point_cloud.shape[-1]))
+
+
+def spot_check_datalist(dataset_cls, datalist: str, lidar_name: str, max_frames: int = 5) -> None:
+    """Headless twin of the reference per-dataset ``__main__`` visual
+    checks (``dataset/datasets/kitti_dataset.py:35-55`` and siblings):
+    iterate the datalist and print the projection round-trip chamfer
+    distance per frame (the o3d viewer is replaced by numbers)."""
+    from rpcc_tpu.data import __lidar_cfg__, __lidar_csv__
+    from rpcc_tpu.metrics import calc_chamfer_distance
+
+    ds = dataset_cls(
+        datalist=datalist,
+        dataset_cfg=__lidar_cfg__[lidar_name],
+        channel_distribute_csv=__lidar_csv__.get(lidar_name),
+    )
+    for i in range(min(len(ds), max_frames)):
+        point_cloud, _ri, original, file_name = ds[i]
+        cd = calc_chamfer_distance(
+            point_cloud.reshape(-1, 3), original[:, :3], out=False
+        )
+        print(
+            f"{file_name}: {original.shape[0]} pts -> projection round-trip "
+            f"chamfer {cd['mean']:.6f}, F1 {cd['f_score']:.4f}"
+        )

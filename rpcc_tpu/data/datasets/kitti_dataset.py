@@ -29,3 +29,19 @@ class KittiDataset(DatasetTemplate):
 
         with futures.ThreadPoolExecutor(workers) as ex:
             list(ex.map(save_txt_to_bin, file_list))
+
+
+if __name__ == "__main__":
+    # Spot-check harness (reference dataset/datasets/kitti_dataset.py:35-55):
+    # iterate a datalist, print the projection round-trip chamfer distance
+    # per frame (headless — no o3d viewer on this rig).
+    import argparse
+
+    from rpcc_tpu.data.dataset import spot_check_datalist
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--datalist", required=True)
+    p.add_argument("--lidar", default="Velodyne64E")
+    p.add_argument("--max_frames", type=int, default=5)
+    a = p.parse_args()
+    spot_check_datalist(KittiDataset, a.datalist, a.lidar, a.max_frames)

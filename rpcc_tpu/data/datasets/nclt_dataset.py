@@ -41,3 +41,17 @@ class NcltDataset(DatasetTemplate):
                 pc = self.load_original_utf8_data(file)
                 pc = np.append(pc, np.zeros((pc.shape[0], 1)), axis=1)
                 pc.astype(np.float32).tofile(save_path)
+
+
+if __name__ == "__main__":
+    # Spot-check harness (reference nclt_dataset.py:66-89, headless).
+    import argparse
+
+    from rpcc_tpu.data.dataset import spot_check_datalist
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--datalist", required=True)
+    p.add_argument("--lidar", default="Velodyne32E")
+    p.add_argument("--max_frames", type=int, default=5)
+    a = p.parse_args()
+    spot_check_datalist(NcltDataset, a.datalist, a.lidar, a.max_frames)

@@ -21,3 +21,17 @@ class OxfordCampusDataset(DatasetTemplate):
                 pc = load_point_cloud(file)
                 pc = np.append(pc, np.zeros((pc.shape[0], 1)), axis=1)
                 pc.astype(np.float32).tofile(save_path)
+
+
+if __name__ == "__main__":
+    # Spot-check harness (reference oxford_dataset.py:54-72, headless).
+    import argparse
+
+    from rpcc_tpu.data.dataset import spot_check_datalist
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--datalist", required=True)
+    p.add_argument("--lidar", default="Velodyne32E")
+    p.add_argument("--max_frames", type=int, default=5)
+    a = p.parse_args()
+    spot_check_datalist(OxfordCampusDataset, a.datalist, a.lidar, a.max_frames)

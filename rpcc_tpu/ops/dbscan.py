@@ -12,10 +12,11 @@ spacing) — so DBSCAN becomes three data-parallel stages:
 1. **core rule**: count active neighbors within eps in the window; a pixel is
    core iff ``count + 1 >= min_points`` (the point itself counts, like o3d);
 2. **connected components over core pixels**: iterative min-label hooking
-   with **pointer jumping** (two shortcut hops per sweep) inside a
-   convergence-checked ``lax.while_loop`` — O(log diameter) sweeps, so long
-   thin components (walls) converge exactly instead of splitting at a fixed
-   sweep budget;
+   with **row/column segmented-min scans** (labels flood whole horizontally/
+   vertically linked runs in ONE ``associative_scan`` sweep — the killer
+   case is a 2000-px wall, which pure neighbor hooking crosses 3 px per
+   sweep) plus pointer jumping, inside a convergence-checked
+   ``lax.while_loop``; real scenes converge in a handful of sweeps;
 3. **border attachment**: a non-core active pixel joins the min-labeled core
    neighbor within eps; remaining active pixels are noise.
 
@@ -114,12 +115,43 @@ def dbscan_range_image(
         jumped = flat[jnp.minimum(flat, hw - 1)]
         return jnp.where(flat < hw, jumped, hw).reshape(H, W)
 
+    # Run links for the segmented scans: adjacent-pixel core edges.
+    i01 = shifts.index((0, 1))
+    i10 = shifts.index((1, 0))
+    lp_col = jnp.concatenate(
+        [jnp.zeros((H, 1), bool), core_edge[i01][:, :-1]], axis=1
+    )  # pixel (r,c) linked to (r,c-1)
+    lp_row = jnp.concatenate(
+        [jnp.zeros((1, W), bool), core_edge[i10][:-1, :]], axis=0
+    )  # pixel (r,c) linked to (r-1,c)
+
+    def _run_min(lab, linked_prev):
+        """Min label over maximal linked runs along axis 1 (segmented
+        forward+backward associative min scans — one sweep floods a whole
+        run, however long)."""
+
+        def comb(a, b):
+            va, sa = a
+            vb, sb = b
+            return jnp.where(sb, vb, jnp.minimum(va, vb)), sa | sb
+
+        start = ~linked_prev
+        fwd, _ = jax.lax.associative_scan(comb, (lab, start), axis=1)
+        lab_f = jnp.flip(lab, 1)
+        lp_f = jnp.flip(linked_prev, 1)
+        start_b = ~jnp.concatenate([jnp.zeros_like(lp_f[:, :1]), lp_f[:, :-1]], 1)
+        bwd, _ = jax.lax.associative_scan(comb, (lab_f, start_b), axis=1)
+        return jnp.minimum(fwd, jnp.flip(bwd, 1))
+
     def cond(state):
         return state[1]
 
     def body(state):
         lab, _ = state
-        new = shortcut(shortcut(hook(lab)))
+        new = hook(lab)
+        new = _run_min(new, lp_col)  # flood along rows
+        new = _run_min(new.T, lp_row.T).T  # flood along columns
+        new = shortcut(shortcut(new))
         return new, jnp.any(new != lab)
 
     labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.asarray(True)))

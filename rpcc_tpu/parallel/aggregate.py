@@ -24,9 +24,9 @@ def make_stats_aggregator(mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     try:
-        from jax.experimental.shard_map import shard_map
-    except ImportError:  # newer jax
-        from jax.shard_map import shard_map  # type: ignore
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map  # type: ignore
 
     # int32 lanes (jax default; x64 stays off): bounds one aggregation call
     # at ~2^31 points / bits — far beyond any single batch.

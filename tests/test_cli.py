@@ -158,16 +158,25 @@ def test_csv_lidar_cli_roundtrip(tmp_path, monkeypatch):
     ).tofile(frame)
     out = str(tmp_path / "f32e.rpcc")
     rec = str(tmp_path / "f32e_rec.bin")
+    import rpcc_tpu.data as _d
+    import os
+
+    csv = os.path.join(
+        os.path.dirname(_d.__file__), "lidar_cfg",
+        "example-Velodyne_HDL_32E_vertical_channel_distribution.csv",
+    )
     run_main(
         compress,
         ["compress", "--input", str(frame), "--output", out,
-         "--lidar", "Velodyne32E", "--cluster_num", "16", "--eval"],
+         "--lidar", "Velodyne32E", "--channel_distribute_csv", csv,
+         "--cluster_num", "16", "--eval"],
         monkeypatch,
     )
     run_main(
         decompress,
         ["decompress", "--input", out, "--output", rec,
-         "--lidar", "Velodyne32E", "--cluster_num", "16"],
+         "--lidar", "Velodyne32E", "--channel_distribute_csv", csv,
+         "--cluster_num", "16"],
         monkeypatch,
     )
     r = np.fromfile(rec, np.float32).reshape(-1, 4)

@@ -185,6 +185,22 @@ def test_radius_outlier_removal_speed():
     assert time.perf_counter() - t0 < 2.0  # VERDICT: usable at dataset scale
 
 
+def test_spot_check_datalist(tmp_path, cloud, capsys):
+    """The per-dataset __main__ harness prints a round-trip chamfer per
+    frame (headless twin of the reference visual spot checks)."""
+    from rpcc_tpu.data.dataset import DatasetTemplate, spot_check_datalist
+
+    frame = tmp_path / "f.bin"
+    np.concatenate([cloud, np.zeros((cloud.shape[0], 1), np.float32)], -1).astype(
+        np.float32
+    ).tofile(frame)
+    dl = tmp_path / "list.txt"
+    dl.write_text(str(frame) + "\n")
+    spot_check_datalist(DatasetTemplate, str(dl), "VelodyneVLP16", max_frames=1)
+    outp = capsys.readouterr().out
+    assert "chamfer" in outp and "F1" in outp
+
+
 # ---------------------------------------------------- sorted_index_encoder
 def test_sorted_index_encoder_roundtrip():
     from rpcc_tpu.codec.contour2d import (
