@@ -26,6 +26,24 @@ def scene_for(lidar: LidarConfig, n=6000, seed=0):
     return pc[(el > lidar.vertical_min) & (el < lidar.vertical_max)]
 
 
+def test_kitti_test_unofficial_64e_geometry():
+    """The KITTI_test registry entry maps to the unofficial 80-row 64E
+    yaml (reference dataset/__init__.py: 'KITTI_test' -> 64E-unofficial);
+    the full pipeline must roundtrip on that geometry too."""
+    from rpcc_tpu.data import __dataset_cfg__
+
+    lidar = LidarConfig.from_yaml(__dataset_cfg__["KITTI_test"], name="KITTI_test")
+    assert lidar.height == 80
+    cfg = CodecConfig(cluster_num=16)
+    codec = RPCCCodec(lidar, cfg)
+    pc = scene_for(lidar)
+    blob, _, _ = codec.compress(pc)
+    pc_rec, ri_rec, _ = codec.decompress(blob)
+    ri = np.asarray(codec.encode_device(pc).range_image)
+    assert ri.shape == (80, lidar.width)
+    assert np.abs(ri_rec - ri).max() <= cfg.step + 1e-5
+
+
 @pytest.mark.parametrize("name", ["Velodyne32E", "VelodyneVLP16"])
 def test_registry_lidar_roundtrip(name):
     lidar = LidarConfig.from_yaml(__lidar_cfg__[name], name=name)
