@@ -361,6 +361,15 @@ def main() -> None:
         from rpcc_tpu.data.pointcloud_io import load_point_cloud_f32
         from rpcc_tpu.parallel import prefetch_loaded_batches
 
+        # untimed warm pass: spins up the pipeline threads, output dirs and
+        # page cache so rep 0 measures the pipeline, not process warm-up
+        warm_gen = prefetch_loaded_batches(
+            files[:BATCH], BATCH, lambda i: load_point_cloud_f32(files[i]), workers=8
+        )
+        for results in engine_flag.encode_pipeline(warm_gen):
+            for (blob, _f), name in zip(results, files[:BATCH]):
+                with open(output_path_for(name, td + "/warm", "rpcc"), "wb") as f:
+                    f.write(blob)
         dl_rates = []
         for rep in range(3):
             t0 = time.perf_counter()

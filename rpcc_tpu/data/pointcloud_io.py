@@ -39,7 +39,8 @@ def load_point_cloud_f32(file: str) -> np.ndarray:
     (dataset/dataset.py:43-63 feeds float64 into o3d); on the datalist hot
     path that conversion costs ~4 ms/frame on the 1-core host.  KITTI .bin
     files are already float32 (N, 4) on disk — return them as-is (columns
-    beyond xyz are ignored downstream via the stride argument)."""
+    beyond xyz are ignored downstream via the stride argument; an mmap
+    variant was A/B-measured no faster than the page-cache memcpy)."""
     if file.split(".")[-1].lower() == "bin":
         return np.fromfile(file, dtype=np.float32).reshape(-1, 4)
     return np.ascontiguousarray(load_point_cloud(file), dtype=np.float32)
