@@ -60,8 +60,10 @@ def codec_and_frame():
 #  - 2026-08-17 r2: LIVE-AWARE rANS lanes (tail padding neither modeled nor
 #    coded — required so the fixed-shape on-device encoder matches host
 #    sizes): rans bpp 2.8081.
-GOLDEN_BPP = 2.8081
-GOLDEN_SHA = "717c81d86d018e82fb3625e46bd1b93b03d35f137d6b0b7a363c70a04869ede0"
+#  - 2026-08-17 r3: idx_sequence zlib level 9 -> 6 (saves ~1 ms/frame of
+#    host time for +31 B on ~34 KB, +0.0006 bpp): rans bpp 2.8087.
+GOLDEN_BPP = 2.8087
+GOLDEN_SHA = "5892614a2d78c5fe97cc24967b1e58541667f97d0b6c1fbc706adbee5608a07e"
 GOLDEN_BZIP2_BPP = 3.0952
 GOLDEN_BZIP2_SHA = "146cd8ff37c8d94e2bb988fb3ca5c14689423a6ff59d5b9c2a7645aa4b4142d3"
 
