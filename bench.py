@@ -127,6 +127,13 @@ def bench_config(name, lidar, cfg, pc, n_chips, e2e=False, extra=None, batch=Non
         line.update(extra)
 
     if e2e:
+        # warm the jittered-content programs (the i8 exception bucket for
+        # jittered frames can differ from the clean frame's — a mid-window
+        # remote XLA compile would wreck a single-window measurement)
+        engine.encode_frames(
+            [_jittered_variants(pc, 1)[0]] * engine.batch_size,
+            seeds=range(engine.batch_size),
+        )
         fps = measure_e2e(engine, pc, n_chips)
         line["value"] = round(fps, 3)
         line["unit"] = "frames/s/chip"

@@ -9,6 +9,18 @@ import os
 from rpcc_tpu.config import CodecConfig, DEFAULT_CODEC_YAML, LidarConfig, load_codec_config
 from rpcc_tpu.data import __lidar_cfg__, __lidar_csv__
 
+# Honor JAX_PLATFORMS=cpu for real: this image's sitecustomize force-sets
+# jax_platforms=axon,cpu AFTER the env var is read, so a "cpu" CLI run would
+# still attach the remote TPU (and hang whenever the tunnel is busy).  The
+# config update must land before the first backend use.
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 
 def add_codec_args(parser: argparse.ArgumentParser, datalist: bool = False) -> None:
     if datalist:

@@ -136,12 +136,14 @@ def _drain(pending, engine, args) -> int:
     errors = 0
     results = engine.finalize_encoded(out, live)
     blobs = []
+    kept = []  # batch indices whose write succeeded, aligned with blobs
     for i, ((blob, fields), name) in enumerate(zip(results, names)):
         try:
             path = output_path_for(name, args.output_dir, "rpcc")
             with open(path, "wb") as f:
                 f.write(blob)
             blobs.append(blob)
+            kept.append(i)
             if args.output:
                 ri = np.asarray(out.range_image[i])
                 n_pts = max(int((ri > 0).sum()), 1)
@@ -172,16 +174,19 @@ def _drain(pending, engine, args) -> int:
         )
         if engine.cfg.transfer_precision in ("u16", "i8"):
             bound += engine.cfg.step / 16.0 / 2.0  # decode-side snap floor
-        for i, name in enumerate(names[: len(decoded)]):
-            rec_ri = np.linalg.norm(decoded[i], axis=-1)
+        # `decoded` aligns with `blobs` = the frames whose write succeeded
+        # (`kept` batch indices) — a --keep_going write failure must not
+        # shift every later frame's report onto the wrong name/range image.
+        for dec, i in zip(decoded, kept):
+            rec_ri = np.linalg.norm(dec, axis=-1)
             err = float(np.abs(rec_ri - ris[i]).max())
             status = "OK" if err <= bound + 1e-5 else "RECONSTRUCTION ERROR"
             orig_pc = ris[i][..., None] * tm
             cd = calc_chamfer_distance(
-                orig_pc.reshape(-1, 3), decoded[i].reshape(-1, 3), out=False
+                orig_pc.reshape(-1, 3), dec.reshape(-1, 3), out=False
             )
             print(
-                f"eval {name}: max depth error {err:.5f} (bound {bound:.5f}) "
+                f"eval {names[i]}: max depth error {err:.5f} (bound {bound:.5f}) "
                 f"chamfer {cd['mean']:.6f} F1 {cd['f_score']:.4f} {status}"
             )
     return errors

@@ -71,7 +71,7 @@ MAGIC_CTX = 0x43  # 'C' — context-modeled delta container
 MAGIC_BZD = 0x5A  # 'Z' — bzip2 over the zigzag-delta stream
 MAGIC_BITS = 0x4E  # 'N' — column-major context-coded contour bits
 MAGIC_BZ = 0x42  # 'B'
-MAGIC_ZL8 = 0x38  # '8' — zlib-9 over the u8 view of a u16 field (ids <= 255)
+MAGIC_ZL8 = 0x38  # '8' — zlib over the u8 view of a u16 field (ids <= 255)
 ALPHABET = 512
 ESCAPE = ALPHABET - 1  # symbol id reserved for |delta| outside table range
 # 32 lanes: header overhead is 6 bytes/lane (state + count) and the scan's

@@ -122,6 +122,20 @@ class HostDecoder:
         from rpcc_tpu.codec.lz4block import native_lib
 
         models = np.ascontiguousarray(models, np.float32)
+        # Wire-derived fields feed raw C pointers below: validate lengths so
+        # a truncated/corrupt .rpcc raises instead of reading out of bounds.
+        if contour_packed.size < self.hw // 8:
+            raise ValueError(
+                f"contour_map too short: {contour_packed.size} bytes for a "
+                f"{self.H}x{self.W} grid"
+            )
+        if models.ndim != 2 or models.shape[1] != 4 or models.shape[0] == 0:
+            raise ValueError(f"plane_param must be (M, 4), got {models.shape}")
+        if salience is not None and len(salience) < models.shape[0]:
+            raise ValueError(
+                f"salience_level has {len(salience)} entries for "
+                f"{models.shape[0]} model rows"
+            )
         lib = native_lib()
         if lib is not None and hasattr(lib, "host_decode_frame"):
             import ctypes as ct

@@ -37,10 +37,12 @@ def make_stats_aggregator(mesh):
         out_specs=P(),
     )
     def agg(n_points, bits):
-        frames = jax.lax.psum(n_points.shape[0], "data")
+        # live frames = slots with a nonempty payload (batch padding frames
+        # carry bits == 0; a real frame's framing alone is > 0 bytes)
+        frames = jax.lax.psum(jnp.sum((bits > 0).astype(jnp.int32)), "data")
         tp = jax.lax.psum(jnp.sum(n_points.astype(jnp.int32)), "data")
         tb = jax.lax.psum(jnp.sum(bits.astype(jnp.int32)), "data")
-        return jnp.stack([jnp.int32(frames), tp, tb])
+        return jnp.stack([frames, tp, tb])
 
     b = NamedSharding(mesh, P("data"))
     return jax.jit(agg, in_shardings=(b, b))

@@ -615,25 +615,31 @@ class BatchEngine:
     def _back_project(self, dec, live: int) -> List[np.ndarray]:
         return self._points_from_ris(*self._materialize_ris(dec, live))
 
-    def prewarm_fallback_decoder(self) -> None:
+    def prewarm_fallback_decoder(
+        self, stream_len: Optional[int] = None, seq_len: Optional[int] = None
+    ) -> None:
         """Compile the full-i16 fallback decoder program up front.
 
         The fallback only runs when a frame overflows EXC_CAP on the decode
         uplink; left to compile lazily, the first such frame stalls
         production for one remote XLA compile (2-15 min on this rig, then
-        cached).  Encoding here is all-zero minimal-bucket shapes — the
-        program is shape-polymorphic only through the bucketing quantum, so
-        this warms the common bucket."""
+        cached).  The program is shape-keyed on the BUCKETED stream/sequence
+        lengths (quantum 8192), so pass a typical live ``stream_len`` /
+        ``seq_len`` from your content (e.g. a real frame's) — the defaults
+        warm the full-grid bucket, which production-size 64E frames
+        (~122k-entry streams) also land in."""
         import jax
 
-        b, nm = self.batch_size, None
         from rpcc_tpu.models.encoder import num_model_rows
 
+        b = self.batch_size
         nm = num_model_rows(self.cfg)
+        m_stream = _bucket(stream_len or self.hw, self.hw)
+        m_seq = _bucket(seq_len or 1, self.hw)
         contour = np.zeros((b, self.hw // 8), np.uint8)
-        seq = np.zeros((b, _bucket(1, self.hw)), np.uint16)
+        seq = np.zeros((b, m_seq), np.uint16)
         seq[:, 0] = 1  # one full-image run of cluster id 1 (zero pixels)
-        stream = np.zeros((b, _bucket(1, self.hw)), np.int16)
+        stream = np.zeros((b, m_stream), np.int16)
         models = np.zeros((b, nm, 4), np.float32)
         args = (contour, seq, stream, models, self._step_arg)
         if self.cfg.uniform:

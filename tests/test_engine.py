@@ -59,6 +59,12 @@ def test_engine_sharded_stats_psum():
     assert report["bits"] == sum(len(b) * 8 for b in blobs)
     assert report["bpp"] > 0
 
+    # partial batch: padding slots must not count as frames
+    out5, live5 = engine.encode_batch_device(clouds[:5], seeds=range(5))
+    blobs5 = [b for b, _ in engine.finalize_encoded(out5, live5)]
+    report5 = engine.sharded_stats(out5, [len(b) for b in blobs5])
+    assert report5["frames"] == 5
+
 
 def test_engine_device_entropy_roundtrip_and_rate():
     """device_entropy=True: the residual/contour fields are rANS-coded on

@@ -59,6 +59,27 @@ def test_native_matches_numpy_fallback():
     assert np.array_equal(ri_native, ri_np)
 
 
+def test_truncated_fields_raise_cleanly():
+    """Corrupt/truncated wire fields must raise ValueError, not feed raw C
+    pointers out-of-bounds."""
+    cfg = CodecConfig(cluster_num=16)
+    hd = HostDecoder(SMALL, cfg)
+    hw = SMALL.height * SMALL.width
+    good_contour = np.zeros(hw // 8, np.uint8)
+    seq = np.zeros(4, np.uint16)
+    stream = np.zeros(16, np.int16)
+    models = np.zeros((4, 4), np.float32)
+    with pytest.raises(ValueError, match="contour_map too short"):
+        hd.reconstruct(good_contour[:-1], seq, stream, models)
+    with pytest.raises(ValueError, match="plane_param"):
+        hd.reconstruct(good_contour, seq, stream, np.zeros((0, 4), np.float32))
+    cfg_nu = CodecConfig(cluster_num=16, compress_framework="non-uniform")
+    hd_nu = HostDecoder(SMALL, cfg_nu)
+    with pytest.raises(ValueError, match="salience_level"):
+        hd_nu.reconstruct(good_contour, seq, stream, models,
+                          salience=np.zeros(2, np.uint8))
+
+
 def test_decode_blobs_points_zero_drop():
     cfg = CodecConfig(cluster_num=16)
     engine = BatchEngine(SMALL, cfg, batch_size=1, workers=2)
