@@ -74,7 +74,33 @@ def dbscan_range_image(
 
     Components beyond ``max_clusters`` (rare: o3d typically finds far fewer
     than the model-table budget) collapse to noise.
+
+    On TPU the per-frame labeling runs as a single VMEM-resident Pallas
+    kernel (ops/dbscan_pallas.py, element-identical); the jnp path below is
+    the spec and the CPU/test backend.
     """
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        from rpcc_tpu.ops.dbscan_pallas import dbscan_labels_pallas
+
+        labels = dbscan_labels_pallas(
+            point_planes, active, float(eps), min_points, window
+        )
+        return _compact_labels(labels, active, max_clusters)
+    return _dbscan_range_image_jnp(
+        point_planes, active, eps, max_clusters, min_points, window
+    )
+
+
+def _dbscan_range_image_jnp(
+    point_planes: jnp.ndarray,
+    active: jnp.ndarray,
+    eps: float,
+    max_clusters: int,
+    min_points: int = MIN_POINTS,
+    window: int = WINDOW,
+) -> jnp.ndarray:
     H, W = active.shape
     hw = H * W
     eps2 = eps * eps
@@ -163,11 +189,24 @@ def dbscan_range_image(
         nb_core = _shift(core, dr, dc, False)
         border = jnp.where(conn[i] & nb_core, jnp.minimum(border, nb_lab), border)
     labels = jnp.where(core, labels, jnp.where(active, border, hw))
+    return _compact_labels(labels, active, max_clusters)
 
+
+def _compact_labels(
+    labels: jnp.ndarray,  # (H, W) root-pixel-index labels, hw = unlabeled
+    active: jnp.ndarray,
+    max_clusters: int,
+) -> jnp.ndarray:
+    """Discovery-order compaction: roots ascending == row-major first pixel.
+
+    A converged min-label forest labels each root with its own index, so
+    roots are found elementwise (no scatter); the only remaining gather is
+    the per-pixel rank lookup."""
+    H, W = active.shape
+    hw = H * W
     flat = labels.reshape(-1)
-    # Discovery-order compaction: roots ascending == row-major first pixel.
-    root_idx = jnp.where(flat < hw, flat, 0)
-    is_root = jnp.zeros((hw,), bool).at[root_idx].max(flat < hw)
+    iota = jnp.arange(hw, dtype=flat.dtype)
+    is_root = (flat == iota) & (flat < hw)
     rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # rank of each root id
     r = rank[jnp.minimum(flat, hw - 1)]
     cluster_id = jnp.where(
