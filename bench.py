@@ -127,13 +127,16 @@ def bench_config(name, lidar, cfg, pc, n_chips, e2e=False, extra=None, batch=Non
         line.update(extra)
 
     if e2e:
-        # warm the jittered-content programs (the i8 exception bucket for
-        # jittered frames can differ from the clean frame's — a mid-window
-        # remote XLA compile would wreck a single-window measurement)
-        engine.encode_frames(
-            [_jittered_variants(pc, 1)[0]] * engine.batch_size,
-            seeds=range(engine.batch_size),
-        )
+        # warm the jittered-content programs: each variant batch can land in
+        # a DIFFERENT i8 exception bucket (m=8192 vs 12288 — distinct
+        # programs), and configs 2/3/3b are single-window measurements — a
+        # mid-window remote XLA compile wrecks them.  Warm every variant
+        # measure_e2e will replay (the DBSCAN line read 63 fps with a
+        # one-variant warm vs 97-119 once actually warm).
+        for v in _jittered_variants(pc, 8):
+            engine.encode_frames(
+                [v] * engine.batch_size, seeds=range(engine.batch_size)
+            )
         fps = measure_e2e(engine, pc, n_chips)
         line["value"] = round(fps, 3)
         line["unit"] = "frames/s/chip"
