@@ -133,6 +133,15 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ]
+        fn = getattr(lib, "d8_reconstruct_batch", None)
+        if fn is not None:
+            fn.restype = None
+            fn.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p,
+            ]
         fn = getattr(lib, "host_decode_frame", None)
         if fn is not None:
             # c_float argtypes required (see project_bin_raster note).

@@ -110,4 +110,45 @@ int64_t host_decode_frame(
   return n;
 }
 
+// Invert the i8 row-delta decode downlink (models/decoder.py d8_down):
+// q[p] = running sum of d8 with (pos-delta, value) exceptions resetting the
+// accumulator; out[p] = (float)q * delta.  Bit-identical to the u16
+// downlink's astype(f32) * delta (q <= 65535 exact in f32, one multiply).
+// Frames with n_exc > cap are reconstructed from the truncated list and
+// must be overwritten by the caller's u16 fallback.
+void d8_reconstruct_batch(
+    const int8_t* d8,      // (B, hw)
+    const uint16_t* pd,    // (B, cap) exception position deltas
+    const uint16_t* val,   // (B, cap) exception grid values
+    const int32_t* n_exc,  // (B,)
+    const float* delta,    // (B,)
+    int64_t B, int64_t hw, int64_t cap,
+    float* out) {          // (B, hw)
+  for (int64_t i = 0; i < B; ++i) {
+    const int8_t* d = d8 + i * hw;
+    const uint16_t* epd = pd + i * cap;
+    const uint16_t* ev = val + i * cap;
+    const float dl = delta[i];
+    float* o = out + i * hw;
+    int64_t n = (int64_t)n_exc[i];
+    if (n > cap) n = cap;
+    int64_t p = 0, pos = -1;
+    int32_t q = 0;
+    for (int64_t e = 0; e < n; ++e) {
+      const int64_t next = pos + (int64_t)epd[e];
+      for (; p < next; ++p) {
+        q += (int32_t)d[p];
+        o[p] = (float)q * dl;
+      }
+      q = (int32_t)ev[e];
+      o[p++] = (float)q * dl;
+      pos = next;
+    }
+    for (; p < hw; ++p) {
+      q += (int32_t)d[p];
+      o[p] = (float)q * dl;
+    }
+  }
+}
+
 }  // extern "C"

@@ -42,9 +42,34 @@ class DecoderOutput(NamedTuple):
     # transfer contract.
     range_u16: Optional[jnp.ndarray] = None  # (H, W) u16
     delta: Optional[jnp.ndarray] = None  # () f32
+    # i8 row-delta downlink view (d8_down=True only): first-differences of
+    # the flattened u16 snap grid as i8 plus a position-sorted exception
+    # list (col-0 of every row and any |diff| > 127), the exact wire code
+    # of the encode uplink (ops/projection.py::project_points_host_d8) run
+    # in reverse — the DEVICE builds it, the HOST inverts with one fused
+    # native pass.  ~31% fewer downlink bytes than the raw u16 grid,
+    # byte-identical reconstruction.  ``range_u16`` stays in the outputs
+    # (not downloaded) as the lossless per-frame fallback when a frame
+    # overflows ``d8_cap`` exceptions.
+    d8: Optional[jnp.ndarray] = None  # (H, W) i8
+    exc_pd: Optional[jnp.ndarray] = None  # (CAP,) u16 position deltas
+    exc_val: Optional[jnp.ndarray] = None  # (CAP,) u16 grid values
+    n_exc: Optional[jnp.ndarray] = None  # () i32 live exception count
 
 
-def build_decode_fn(lidar: LidarConfig, cfg: CodecConfig):
+# Decode-downlink exception capacity: the decoded 64E KITTI grid measures
+# ~6.9k exceptions clean / ~12.0k under 1 mm jitter (same stats as the
+# encode uplink, whose buckets are 8192/12288).  One fixed program at 12288
+# covers both; overflow falls back to the per-frame u16 grid download.
+D8_DOWN_CAP = 12288
+
+
+def build_decode_fn(
+    lidar: LidarConfig,
+    cfg: CodecConfig,
+    d8_down: bool = False,
+    d8_cap: Optional[int] = None,
+):
     """Build the raw ``decode(contour (H,W) u8, sequence (HW,) i32, stream
     (HW,) i32, model_param (M,4) f32, step, salience (M,) i32|unused) ->
     DecoderOutput`` (vmap/shard-composable).
@@ -57,6 +82,9 @@ def build_decode_fn(lidar: LidarConfig, cfg: CodecConfig):
 
     H, W = lidar.height, lidar.width
     hw = H * W
+    # cap >= hw can never overflow (every pixel an exception at worst), so
+    # small grids always take the lossless d8 path with zero waste.
+    d8_cap = min(D8_DOWN_CAP, hw) if d8_cap is None else int(d8_cap)
     tm_planes_flat = jnp.asarray(build_transform_planes(lidar)).reshape(3, hw)
     num_models = num_model_rows(cfg)
 
@@ -124,11 +152,40 @@ def build_decode_fn(lidar: LidarConfig, cfg: CodecConfig):
         ri_s = pred_s + stream.astype(jnp.float32) * step_s
         ri = stream_to_pixel(ri_s, order).reshape(seg.shape)
         if cfg.transfer_precision in ("u16", "i8"):  # i8 is uplink-only;
-            # the decode downlink rides the same u16 snap view
+            # the reduced decode downlink rides the same u16 snap grid
             step_max = step if cfg.uniform else jnp.max(step)
             delta = jnp.maximum(step_max / 16.0, jnp.max(ri) / 65535.0)
             riq = jnp.minimum(jnp.rint(ri / delta), 65535.0).astype(jnp.uint16)
-            return DecoderOutput(ri, seg, riq, delta.astype(jnp.float32))
+            if not d8_down:
+                return DecoderOutput(ri, seg, riq, delta.astype(jnp.float32))
+            # Row-delta i8 wire code of the q grid (the encode uplink's
+            # project_points_host_d8 format, built device-side): flat
+            # first-differences; col-0 of every row and any |diff| > 127
+            # become (pos-delta u16, value u16) exceptions.  Compaction is
+            # one cumsum + two sorted scatters (no sorts, no gathers — both
+            # serialize on TPU); positions are visited in order so the
+            # exception list comes out position-sorted for free.
+            qf = riq.astype(jnp.int32).reshape(hw)
+            diff = qf - jnp.concatenate([jnp.zeros((1,), jnp.int32), qf[:-1]])
+            col0 = (jnp.arange(hw) % W) == 0
+            exc = col0 | (diff < -128) | (diff > 127)
+            d8 = jnp.where(exc, 0, diff).astype(jnp.int8).reshape(H, W)
+            n_exc = exc.sum().astype(jnp.int32)
+            slot = jnp.where(exc, jnp.cumsum(exc) - 1, d8_cap)
+            pos = jnp.full((d8_cap,), -1, jnp.int32).at[slot].set(
+                jnp.arange(hw, dtype=jnp.int32), mode="drop"
+            )
+            val = jnp.zeros((d8_cap,), jnp.uint16).at[slot].set(
+                riq.reshape(hw), mode="drop"
+            )
+            # pd[e] = pos[e] - pos[e-1] with pos[-1] = -1 (uplink
+            # convention); slots past n_exc hold junk the host never reads.
+            pd = (
+                pos - jnp.concatenate([jnp.full((1,), -1, jnp.int32), pos[:-1]])
+            ).astype(jnp.uint16)
+            return DecoderOutput(
+                ri, seg, riq, delta.astype(jnp.float32), d8, pd, val, n_exc
+            )
         return DecoderOutput(ri, seg)
 
     return decode
@@ -139,13 +196,21 @@ def make_decoder(lidar: LidarConfig, cfg: CodecConfig):
     return jax.jit(build_decode_fn(lidar, cfg))
 
 
-def make_batch_decoder(lidar: LidarConfig, cfg: CodecConfig, mesh=None, i8_stream: bool = False):
+def make_batch_decoder(
+    lidar: LidarConfig,
+    cfg: CodecConfig,
+    mesh=None,
+    i8_stream: bool = False,
+    d8_down: bool = False,
+    d8_cap: Optional[int] = None,
+):
     """Jitted batched decoder; batch dim sharded over mesh axis 'data'.
 
     With ``i8_stream=True`` the stream argument is the (B, m) i8 transfer
     view and two (B, CAP) exception arrays follow (after salience in
-    non-uniform mode)."""
-    base = build_decode_fn(lidar, cfg)
+    non-uniform mode).  With ``d8_down=True`` the output additionally
+    carries the i8 row-delta downlink view of the u16 snap grid."""
+    base = build_decode_fn(lidar, cfg, d8_down=d8_down, d8_cap=d8_cap)
     if cfg.uniform:
         if i8_stream:
             fn = jax.vmap(

@@ -71,6 +71,67 @@ def _decode_frame_np(
     return np.where(seg == 1, np.float32(0.0), ri).reshape(H, W)
 
 
+def d8_reconstruct_batch(
+    d8: np.ndarray,  # (B, H, W) i8
+    pd: np.ndarray,  # (B, CAP) u16 exception position deltas
+    val: np.ndarray,  # (B, CAP) u16 exception grid values
+    n_exc: np.ndarray,  # (B,) i32
+    delta: np.ndarray,  # (B,) f32 per-frame snap grid
+) -> np.ndarray:
+    """Invert the device decoder's i8 row-delta downlink -> (B, H, W) f32.
+
+    The wire code is the encode uplink's (project_points_host_d8): flat
+    first-differences of the u16 snap grid as i8, with a position-sorted
+    (pos-delta u16, value u16) exception list.  Output is byte-identical to
+    ``range_u16.astype(f32) * delta`` (q <= 65535 is exact in f32, one
+    multiply — same order as the u16 downlink path).  Fused native single
+    pass when available; frames with ``n_exc > CAP`` are reconstructed from
+    the truncated list here and must be overwritten by the caller's u16
+    fallback.
+    """
+    from rpcc_tpu.codec.lz4block import native_lib
+
+    B, H, W = d8.shape
+    hw = H * W
+    cap = pd.shape[1]
+    out = np.empty((B, H, W), np.float32)
+    lib = native_lib()
+    if lib is not None and hasattr(lib, "d8_reconstruct_batch"):
+        import ctypes as ct
+
+        d8c = np.ascontiguousarray(d8)
+        pdc = np.ascontiguousarray(pd)
+        valc = np.ascontiguousarray(val)
+        nc = np.ascontiguousarray(n_exc, np.int32)
+        dc = np.ascontiguousarray(delta, np.float32)
+        lib.d8_reconstruct_batch(
+            d8c.ctypes.data_as(ct.c_void_p),
+            pdc.ctypes.data_as(ct.c_void_p),
+            valc.ctypes.data_as(ct.c_void_p),
+            nc.ctypes.data_as(ct.c_void_p),
+            dc.ctypes.data_as(ct.c_void_p),
+            ct.c_int64(B),
+            ct.c_int64(hw),
+            ct.c_int64(cap),
+            out.ctypes.data_as(ct.c_void_p),
+        )
+        return out
+    for i in range(B):
+        d32 = d8[i].astype(np.int32).reshape(hw)
+        C = np.cumsum(d32, dtype=np.int32)
+        n = min(int(n_exc[i]), cap)
+        if n > 0:
+            pos = np.cumsum(pd[i, :n].astype(np.int64)) - 1
+            K = val[i, :n].astype(np.int32) - C[pos]
+            corr = np.zeros(hw, np.int32)
+            corr[pos] = np.diff(K, prepend=np.int32(0))
+            q = C + np.cumsum(corr, dtype=np.int32)
+        else:
+            q = C
+        out[i] = (q.astype(np.float32) * np.float32(delta[i])).reshape(H, W)
+    return out
+
+
 class HostDecoder:
     """Decode .rpcc payloads entirely on the host.
 

@@ -68,6 +68,8 @@ class BatchEngine:
         batch_size: int = 8,
         mesh=None,
         workers: int = 4,
+        d8_down: Optional[bool] = None,
+        d8_cap: Optional[int] = None,
     ):
         self.lidar = lidar
         self.cfg = cfg
@@ -88,8 +90,13 @@ class BatchEngine:
         # wire is the e2e ceiling on this rig).
         self._u16 = cfg.transfer_precision == "u16"
         self._d8 = cfg.transfer_precision == "i8"
-        # The decode downlink rides the u16 snap view in both reduced modes.
+        # The decode downlink rides the u16 snap grid in both reduced modes;
+        # by default it ships as the i8 row-delta + exception view (the
+        # encode uplink's wire code built device-side, ~31% fewer bytes,
+        # byte-identical after the host's fused native reconstruction).
+        # ``d8_down=False`` keeps the raw (B, H, W) u16 download.
         self._u16_down = cfg.transfer_precision in ("u16", "i8")
+        self._d8_down = self._u16_down if d8_down is None else bool(d8_down)
         # Device entropy: the encoder graph also emits the rANS containers
         # for the residual/contour fields (cfg.device_entropy, rans only).
         self._dev_entropy = bool(cfg.device_entropy) and cfg.basic_compressor == "rans"
@@ -102,8 +109,12 @@ class BatchEngine:
         # on this rig a remote XLA compile is a 2-15 minute stall the first
         # time a degenerate frame shows up mid-production (cached after).
         # Call prewarm_fallback_decoder() during setup to pay it up front.
-        self._decode_b = make_batch_decoder(lidar, cfg, mesh)
-        self._decode_b_i8 = make_batch_decoder(lidar, cfg, mesh, i8_stream=True)
+        self._decode_b = make_batch_decoder(
+            lidar, cfg, mesh, d8_down=self._d8_down, d8_cap=d8_cap
+        )
+        self._decode_b_i8 = make_batch_decoder(
+            lidar, cfg, mesh, i8_stream=True, d8_down=self._d8_down, d8_cap=d8_cap
+        )
         self.entropy = BasicCompressor(
             method_name=cfg.basic_compressor, contour_shape=(self.H, self.W)
         )
@@ -585,7 +596,9 @@ class BatchEngine:
             dec = dec_fn(*args, *tail)
         else:
             dec = dec_fn(*args, sal, *tail)
-        if self._u16_down:
+        if self._d8_down:
+            _copy_async(dec.d8, dec.exc_pd, dec.exc_val, dec.n_exc, dec.delta)
+        elif self._u16_down:
             _copy_async(dec.range_u16, dec.delta)
         else:
             _copy_async(dec.range_image)
@@ -597,7 +610,28 @@ class BatchEngine:
         Downloads the (B, H, W) range image, NOT the (B, H, W, 3) cloud: a
         trailing dim of 3 is tile-padded to 128 on TPU, making its download
         ~42x larger over the wire; back-projection is one host multiply.
-        In u16 transfer mode the u16 snap view halves it again."""
+        In u16 transfer mode the u16 snap view halves it again; the default
+        d8 view (i8 row-deltas + exceptions) takes ~31% more off that."""
+        if self._d8_down:
+            from rpcc_tpu.models.host_decoder import d8_reconstruct_batch
+
+            n_exc = np.asarray(dec.n_exc)
+            ris = d8_reconstruct_batch(
+                np.asarray(dec.d8),
+                np.asarray(dec.exc_pd),
+                np.asarray(dec.exc_val),
+                n_exc,
+                np.asarray(dec.delta),
+            )
+            over = np.flatnonzero(n_exc[:live] > dec.exc_pd.shape[1])
+            if over.size:
+                # Rare lossless fallback: a frame with more exceptions than
+                # the fixed CAP downloads its raw u16 grid rows instead.
+                riq = np.asarray(dec.range_u16)
+                d = np.asarray(dec.delta)
+                for i in over:
+                    ris[i] = riq[i].astype(np.float32) * d[i]
+            return ris, live
         if self._u16_down:
             ris = np.asarray(dec.range_u16).astype(np.float32)
             ris *= np.asarray(dec.delta)[:, None, None]

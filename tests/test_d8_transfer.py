@@ -90,3 +90,75 @@ def test_i8_engine_device_entropy_combo():
     assert all(len(b) > 0 for b, _ in res)
     dec = eng.decode_blobs([b for b, _ in res])
     assert len(dec) == 2 and all(np.isfinite(d).all() for d in dec)
+
+
+def test_d8_downlink_matches_u16_downlink_exactly():
+    """The default i8 row-delta decode downlink must materialize the exact
+    bytes of the raw u16 downlink (models/decoder.py d8_down +
+    host_decoder.d8_reconstruct_batch)."""
+    clouds = [synth_scene(seed=s) for s in range(4)]
+    cfg = CodecConfig(cluster_num=16, transfer_precision="u16")
+    e_d8 = BatchEngine(SMALL, cfg, batch_size=4, workers=2)  # d8 is default
+    e_u16 = BatchEngine(SMALL, cfg, batch_size=4, workers=2, d8_down=False)
+    assert e_d8._d8_down and not e_u16._d8_down
+    blobs = [b for b, _ in e_u16.encode_frames(clouds, seeds=range(4))]
+    ris_d8, _ = e_d8._materialize_ris(*e_d8.decode_blobs_device(blobs))
+    ris_u16, _ = e_u16._materialize_ris(*e_u16.decode_blobs_device(blobs))
+    assert np.array_equal(ris_d8, ris_u16)
+
+
+def test_d8_downlink_overflow_falls_back_lossless():
+    """Frames whose exception count exceeds the fixed CAP must come back
+    through the u16 fallback byte-identical, not corrupted."""
+    clouds = [synth_scene(seed=s) for s in range(2)]
+    cfg = CodecConfig(cluster_num=16, transfer_precision="u16")
+    e_tiny = BatchEngine(SMALL, cfg, batch_size=2, workers=2, d8_cap=8)
+    e_u16 = BatchEngine(SMALL, cfg, batch_size=2, workers=2, d8_down=False)
+    blobs = [b for b, _ in e_u16.encode_frames(clouds, seeds=range(2))]
+    dec, live = e_tiny.decode_blobs_device(blobs)
+    assert (np.asarray(dec.n_exc)[:live] > 8).any()  # overflow really hit
+    ris, _ = e_tiny._materialize_ris(dec, live)
+    ris_u16, _ = e_u16._materialize_ris(*e_u16.decode_blobs_device(blobs))
+    assert np.array_equal(ris, ris_u16)
+
+
+def test_d8_reconstruct_native_and_numpy_paths(monkeypatch):
+    """d8_reconstruct_batch (native single pass and numpy fallback) inverts
+    the wire code to the exact q * delta floats."""
+    from rpcc_tpu.models.host_decoder import d8_reconstruct_batch
+
+    rng = np.random.default_rng(11)
+    B, H, W = 3, 8, 64
+    hw = H * W
+    # smooth-ish grid with injected big jumps (forced exceptions)
+    q = np.cumsum(rng.integers(-50, 51, size=(B, hw)), axis=1)
+    q = (q - q.min(axis=1, keepdims=True)).astype(np.int64)
+    jumps = rng.integers(0, hw, size=(B, 7))
+    for i in range(B):
+        q[i, jumps[i]] += rng.integers(300, 5000, size=7)
+    q = np.minimum(q, 65535).astype(np.uint16)
+    delta = rng.uniform(0.001, 0.01, size=B).astype(np.float32)
+    cap = hw
+    d8 = np.zeros((B, H, W), np.int8)
+    pd = np.zeros((B, cap), np.uint16)
+    val = np.zeros((B, cap), np.uint16)
+    n_exc = np.zeros(B, np.int32)
+    col0 = (np.arange(hw) % W) == 0
+    for i in range(B):
+        qi = q[i].astype(np.int32)
+        diff = np.diff(qi, prepend=np.int32(0))
+        exc = col0 | (diff < -128) | (diff > 127)
+        d8[i] = np.where(exc, 0, diff).astype(np.int8).reshape(H, W)
+        pos = np.flatnonzero(exc)
+        pd[i, : pos.size] = np.diff(pos, prepend=np.int64(-1)).astype(np.uint16)
+        val[i, : pos.size] = q[i][pos]
+        n_exc[i] = pos.size
+    expected = q.astype(np.float32).reshape(B, H, W) * delta[:, None, None]
+    out = d8_reconstruct_batch(d8, pd, val, n_exc, delta)
+    assert np.array_equal(out, expected)
+    # force the numpy fallback branch and require identical bytes
+    import rpcc_tpu.codec.lz4block as lz4block
+
+    monkeypatch.setattr(lz4block, "native_lib", lambda: None)
+    out_np = d8_reconstruct_batch(d8, pd, val, n_exc, delta)
+    assert np.array_equal(out_np, expected)
