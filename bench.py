@@ -264,7 +264,10 @@ def main() -> None:
     )
     emit(line16)
 
-    # ---- decode: device pipeline (u16 downlink) + native host decoder
+    # ---- decode: device pipeline (i8 row-delta downlink — metric name
+    # keeps the r1/r2 "u16_transfer" label for cross-round comparability;
+    # the downlink wire view is recorded in the "transfer" field) + native
+    # host decoder
     dec_batches = _decode_batches(engine_flag, pc)
     dec_dev = measure_decode(engine_flag, dec_batches, n_chips)
     rec_ri = np.linalg.norm(engine_flag.decode_blobs([blob1])[0], axis=-1)
@@ -277,7 +280,7 @@ def main() -> None:
             "vs_baseline": round(dec_dev / BASELINE_FPS, 3),
             "max_depth_err": round(float(np.abs(rec_ri - ri1).max()), 5),
             "err_bound": round(cfg1.step + delta_dec / 2 + 1e-5, 5),
-            "transfer": "u16",
+            "transfer": "i8-up/d8-down",
             "chips": n_chips,
         }
     )
