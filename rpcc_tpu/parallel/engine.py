@@ -128,6 +128,11 @@ class BatchEngine:
         # previous batch (measured: queueing them on the main thread after
         # finish_staged serializes ~150 ms/batch of download wait).
         self._downloader = futures.ThreadPoolExecutor(1)
+        # Dedicated stacker: host projection/stacking for batch k+1 runs
+        # while the uploader's wire transfer for batch k is in flight (the
+        # native projection releases the GIL, so both make progress even on
+        # the 1-core host — the wire is idle CPU time).
+        self._stacker = futures.ThreadPoolExecutor(1)
 
     @property
     def _step_arg(self) -> np.ndarray:
@@ -205,30 +210,38 @@ class BatchEngine:
             n_exc[i] = k
         return d8, deltas, exc_pd, exc_val, n_exc, live
 
-    def encode_batch_device(self, clouds: Sequence[np.ndarray], seeds: Optional[Sequence[int]] = None):
-        """Dispatch one device batch (async); returns (EncoderOutput, live_count).
+    def _prepare_batch(self, clouds: Sequence[np.ndarray], seeds: Optional[Sequence[int]] = None):
+        """Pipeline stage 0 (CPU-bound): host-project + stack one batch.
 
-        Fixed-size outputs start copying to the host immediately — nothing
-        here blocks on the device.
+        Split from :meth:`_dispatch_prepared` so the pipeline's stacker
+        thread can project batch k+1 while the uploader thread's wire
+        transfer for batch k is in flight — on this rig the projection
+        (~184 ms/batch-64) serialized ahead of the ~342 ms upload when both
+        lived on the uploader thread, capping e2e at ~1/(184+342) instead
+        of ~1/342 per batch.
         """
         assert len(clouds) <= self.batch_size
         if self._d8:
             pts, deltas, exc_pd, exc_val, n_exc, live = self._stack_d8(clouds)
-        else:
+            tail = (deltas, exc_pd, exc_val, n_exc)
+        elif self._u16:
             pts, deltas, live = self._stack(clouds)
+            tail = (deltas,)
+        else:
+            pts, _, live = self._stack(clouds)
+            tail = ()
         if seeds is None:
             seeds = [self.cfg.seed] * self.batch_size
         seeds = np.asarray(
             list(seeds) + [self.cfg.seed] * (self.batch_size - len(seeds)), np.uint32
         )
-        if self._d8:
-            out = self._encode_b(
-                pts, seeds, self._step_arg, deltas, exc_pd, exc_val, n_exc
-            )
-        elif self._u16:
-            out = self._encode_b(pts, seeds, self._step_arg, deltas)
-        else:
-            out = self._encode_b(pts, seeds, self._step_arg)
+        return pts, seeds, tail, live
+
+    def _dispatch_prepared(self, prepared):
+        """Pipeline stage 1 (wire-bound): upload + dispatch a prepared batch;
+        queues the fixed-size output copies without blocking on the device."""
+        pts, seeds, tail, live = prepared
+        out = self._encode_b(pts, seeds, self._step_arg, *tail)
         if self._dev_entropy:
             _copy_async(out.stream_len, out.seq_len, out.model_param,
                         out.salience, out.de_res_nw, out.de_res_counts,
@@ -241,6 +254,11 @@ class BatchEngine:
                         out.model_param, out.salience,
                         out.exc_pos, out.exc_val, out.exc_count)
         return out, live
+
+    def encode_batch_device(self, clouds: Sequence[np.ndarray], seeds: Optional[Sequence[int]] = None):
+        """Stack + dispatch one device batch (async); returns
+        (EncoderOutput, live_count)."""
+        return self._dispatch_prepared(self._prepare_batch(clouds, seeds))
 
     def stage_downloads(self, out, live: int) -> _Staged:
         """Pipeline stage 2: bucket the live prefixes, queue their copies.
@@ -463,20 +481,29 @@ class BatchEngine:
         return self._uploader.submit(self.encode_batch_device, clouds, seeds)
 
     def encode_pipeline(self, batches):
-        """3-deep, 3-thread pipelined encode over an iterable of (clouds,
+        """4-deep, 4-thread pipelined encode over an iterable of (clouds,
         seeds).
 
         Yields one result list per input batch, in order.  Stage threads:
-        uploader (stack + dispatch batch k), downloader (wait for k-1 on
-        device, queue its async prefix copies), main (entropy-code k-2 while
-        k-1's copies stream and k uploads).
+        stacker (host-project batch k), uploader (wire transfer + dispatch
+        k-1), downloader (wait for k-2 on device, queue its async prefix
+        copies), main (entropy-code k-3 while k-2's copies stream).
+        Separating stack from upload matters on a 1-core host: the two used
+        to serialize on the uploader thread (~184 + ~342 ms/batch-64),
+        capping throughput below the wire ceiling.
         """
         from collections import deque
 
+        prepared: deque = deque()  # futures -> prepared host arrays
         dispatched: deque = deque()  # futures -> (out, live)
         staged: deque = deque()  # futures -> _Staged
         for clouds, seeds in batches:
-            dispatched.append(self._uploader.submit(self.encode_batch_device, clouds, seeds))
+            prepared.append(self._stacker.submit(self._prepare_batch, clouds, seeds))
+            if len(prepared) >= 2:
+                fut = prepared.popleft()
+                dispatched.append(
+                    self._uploader.submit(lambda f=fut: self._dispatch_prepared(f.result()))
+                )
             if len(dispatched) >= 2:
                 fut = dispatched.popleft()
                 staged.append(
@@ -484,6 +511,12 @@ class BatchEngine:
                 )
             if len(staged) >= 2:
                 yield self.finish_staged(staged.popleft().result())
+        # Drain: at most one batch sits in each upstream stage.
+        while prepared:
+            fut = prepared.popleft()
+            dispatched.append(
+                self._uploader.submit(lambda f=fut: self._dispatch_prepared(f.result()))
+            )
         while dispatched:
             fut = dispatched.popleft()
             staged.append(
