@@ -531,8 +531,14 @@ class BatchEngine:
         return self.finalize_encoded(out, live)
 
     # ---------------------------------------------------------------- decode
-    def decode_blobs_device(self, blobs: Sequence[bytes]):
-        """Entropy-decode + stack + dispatch one device decode batch."""
+    def _prepare_decode(self, blobs: Sequence[bytes]):
+        """Decode pipeline stage 0 (CPU-bound): entropy-decode + stack one
+        batch of .rpcc payloads into the decoder's upload arrays.
+
+        Split from :meth:`_dispatch_decode` for the same reason as the
+        encode side's :meth:`_prepare_batch`: on the 1-core host the batch
+        entropy decode (~150 ms/batch-64 of CPU) used to serialize ahead of
+        the ~290 ms decode uplink on the uploader thread."""
         assert len(blobs) <= self.batch_size
         b = self.batch_size
         hw = self.hw
@@ -625,6 +631,12 @@ class BatchEngine:
             dec_fn = self._decode_b
             args = (contour, seq, stream16, models, self._step_arg)
             tail = ()
+        return dec_fn, args, sal, tail, len(blobs)
+
+    def _dispatch_decode(self, prepared):
+        """Decode pipeline stage 1 (wire-bound): upload + dispatch a
+        prepared decode batch; queues the downlink copies."""
+        dec_fn, args, sal, tail, live = prepared
         if self.cfg.uniform:
             dec = dec_fn(*args, *tail)
         else:
@@ -635,7 +647,11 @@ class BatchEngine:
             _copy_async(dec.range_u16, dec.delta)
         else:
             _copy_async(dec.range_image)
-        return dec, len(blobs)
+        return dec, live
+
+    def decode_blobs_device(self, blobs: Sequence[bytes]):
+        """Entropy-decode + stack + dispatch one device decode batch."""
+        return self._dispatch_decode(self._prepare_decode(blobs))
 
     def _materialize_ris(self, dec, live: int):
         """Block on the decode downloads -> ((B, H, W) f32 ranges, live).
@@ -720,16 +736,22 @@ class BatchEngine:
         return self._back_project(dec, live)
 
     def decode_pipeline(self, blob_batches):
-        """3-deep, 3-thread pipelined decode over an iterable of blob lists
-        (mirror of ``encode_pipeline``): batch k's host entropy-decode +
-        upload (uploader thread) overlaps batch k-1's range-image download
-        (downloader thread) and batch k-2's back-projection (caller)."""
+        """4-deep, 4-thread pipelined decode over an iterable of blob lists
+        (mirror of ``encode_pipeline``): stacker entropy-decodes batch k,
+        uploader transfers + dispatches k-1, downloader materializes k-2's
+        range images, caller back-projects k-3."""
         from collections import deque
 
+        prepared: deque = deque()  # futures -> prepared upload arrays
         dispatched: deque = deque()  # futures -> (DecoderOutput, live)
         staged: deque = deque()  # futures -> (ris, live)
         for blobs in blob_batches:
-            dispatched.append(self._uploader.submit(self.decode_blobs_device, blobs))
+            prepared.append(self._stacker.submit(self._prepare_decode, blobs))
+            if len(prepared) >= 2:
+                fut = prepared.popleft()
+                dispatched.append(
+                    self._uploader.submit(lambda f=fut: self._dispatch_decode(f.result()))
+                )
             if len(dispatched) >= 2:
                 fut = dispatched.popleft()
                 staged.append(
@@ -737,6 +759,12 @@ class BatchEngine:
                 )
             if len(staged) >= 2:
                 yield self._points_from_ris(*staged.popleft().result())
+        # Drain: at most one batch sits in each upstream stage.
+        while prepared:
+            fut = prepared.popleft()
+            dispatched.append(
+                self._uploader.submit(lambda f=fut: self._dispatch_decode(f.result()))
+            )
         while dispatched:
             fut = dispatched.popleft()
             staged.append(
