@@ -364,7 +364,7 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as td:
         files = []
-        for i in range(BATCH * 6):  # enough batches to amortize pipeline ramp
+        for i in range(BATCH * 12):  # amortize the 4-deep pipeline's fill+drain
             p = os.path.join(td, f"frames/{i:06d}.bin")
             os.makedirs(os.path.dirname(p), exist_ok=True)
             v = variants[i % len(variants)]
