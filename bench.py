@@ -204,15 +204,21 @@ def _decode_batches(engine, pc, k=3):
     ]
 
 
-def measure_decode(engine, dec_batches, n_chips, reps=8) -> float:
+def measure_decode(engine, dec_batches, n_chips, reps=12) -> float:
+    """Steady-state pipelined decode rate: batches per wall second between
+    the first and last arrival — the first absorbs the 4-deep pipeline
+    fill, mirroring measure_e2e's encode accounting (total-time/total-n
+    understated the 4-stage pipeline ~25% at 8 reps)."""
     engine.decode_blobs(dec_batches[0])  # warm
-    t0 = time.perf_counter()
-    n = 0
-    for recs in engine.decode_pipeline(
+    arrivals = []
+    for _recs in engine.decode_pipeline(
         dec_batches[k % len(dec_batches)] for k in range(reps)
     ):
-        n += len(recs)
-    return n / (time.perf_counter() - t0) / n_chips
+        arrivals.append(time.perf_counter())
+    if len(arrivals) < 2:
+        return 0.0
+    span = arrivals[-1] - arrivals[0]
+    return (len(arrivals) - 1) * engine.batch_size / span / n_chips if span > 0 else 0.0
 
 
 def main() -> None:
