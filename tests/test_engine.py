@@ -262,3 +262,21 @@ def test_engine_partial_batch():
     assert len(results) == 1
     decoded = engine.decode_blobs([results[0][0]])
     assert len(decoded) == 1
+
+
+def test_decode_pipeline_single_batch_drain():
+    """One batch must flow entirely through the 4-deep pipeline's drain
+    (no steady-state yields happen: prepare/dispatch/materialize all pop
+    in the drain loops) and still roundtrip within the error bound."""
+    cfg = CodecConfig(cluster_num=16)
+    engine = BatchEngine(SMALL, cfg, batch_size=4, workers=2)
+    clouds = [synth_scene(seed=s) for s in range(4)]
+    blobs = [b for b, _ in engine.encode_frames(clouds, seeds=range(4))]
+    out, _ = engine.encode_batch_device(clouds, seeds=range(4))
+    ri = np.asarray(out.range_image)
+    decoded = list(engine.decode_pipeline(iter([blobs])))
+    assert len(decoded) == 1
+    bound = cfg.step + 1e-5
+    for i, rec in enumerate(decoded[0]):
+        rec_ri = np.linalg.norm(rec, axis=-1)
+        assert np.abs(rec_ri - ri[i]).max() <= bound
