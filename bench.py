@@ -109,7 +109,7 @@ def bench_config(name, lidar, cfg, pc, n_chips, e2e=False, extra=None, batch=Non
     dec = engine.decode_blobs([blob0])
     rec_ri = np.linalg.norm(dec[0], axis=-1)
     bound = cfg.step + (0.0 if cfg.uniform else max(cfg.level_delta_acc))
-    if cfg.transfer_precision in ("u16", "i8"):
+    if cfg.transfer_precision in ("u16", "i8", "m8"):
         bound += cfg.step / 16.0 / 2.0  # decode-side snap floor
     max_err = float(np.abs(rec_ri - ri).max())
 

@@ -38,7 +38,7 @@ def add_codec_args(parser: argparse.ArgumentParser, datalist: bool = False) -> N
             help="failure isolation: log per-frame errors and continue.",
         )
         parser.add_argument(
-            "--transfer_precision", choices=("f32", "u16", "i8"), default=None,
+            "--transfer_precision", choices=("f32", "u16", "i8", "m8"), default=None,
             help="u16 halves host<->device bytes (<= accuracy/16 extra error).",
         )
         parser.add_argument(

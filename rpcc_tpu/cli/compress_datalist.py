@@ -172,7 +172,7 @@ def _drain(pending, engine, args) -> int:
         bound = engine.cfg.step + (
             0.0 if engine.cfg.uniform else max(engine.cfg.level_delta_acc)
         )
-        if engine.cfg.transfer_precision in ("u16", "i8"):
+        if engine.cfg.transfer_precision in ("u16", "i8", "m8"):
             bound += engine.cfg.step / 16.0 / 2.0  # decode-side snap floor
         # `decoded` aligns with `blobs` = the frames whose write succeeded
         # (`kept` batch indices) — a --keep_going write failure must not

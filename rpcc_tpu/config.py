@@ -135,8 +135,10 @@ class CodecConfig:
     # Host<->device transfer precision for the range-image uplink:
     # 'f32' raw, 'u16' per-frame snap grid (half the bytes, <= delta/2
     # error), 'i8' row-delta over the u16 grid + exception list (~30% fewer
-    # bytes again, bit-identical bitstream to 'u16').
-    transfer_precision: str = "f32"  # 'f32' | 'u16' | 'i8'
+    # bytes again, bit-identical bitstream to 'u16'), 'm8' packed nonzero
+    # mask + compact nonzero deltas (~27% fewer bytes than 'i8', still
+    # bit-identical — zero pixels never ride the wire).
+    transfer_precision: str = "f32"  # 'f32' | 'u16' | 'i8' | 'm8'
     # Entropy-code the two big fields (residual stream, contour plane) ON
     # DEVICE (ops/rans_device.py): the engine then downloads ~30 KB of
     # compressed words per frame instead of the ~200 KB transfer view, and

@@ -151,7 +151,7 @@ def build_decode_fn(
             step_s = expand_per_cluster(step[salience.astype(jnp.int32)], order, hw)
         ri_s = pred_s + stream.astype(jnp.float32) * step_s
         ri = stream_to_pixel(ri_s, order).reshape(seg.shape)
-        if cfg.transfer_precision in ("u16", "i8"):  # i8 is uplink-only;
+        if cfg.transfer_precision in ("u16", "i8", "m8"):  # i8/m8 are uplink-only;
             # the reduced decode downlink rides the same u16 snap grid
             step_max = step if cfg.uniform else jnp.max(step)
             delta = jnp.maximum(step_max / 16.0, jnp.max(ri) / 65535.0)

@@ -107,6 +107,7 @@ def build_encode_fn(
     from_ri: bool = False,
     ri_u16: bool = False,
     ri_d8: bool = False,
+    ri_m8: bool = False,
 ):
     """Build the raw (traceable) single-frame encode function.
 
@@ -136,6 +137,17 @@ def build_encode_fn(
     graph reconstructs the exact q grid with two cumsums + one small
     scatter — ~30% fewer uplink bytes than raw u16, bit-identical
     bitstreams (cfg.transfer_precision='i8').
+
+    With ``ri_m8=True`` the signature becomes ``encode(maskp (ceil(hw/8),)
+    u8, seed, step, delta (), d8c (M,) i8, exc_pd (m,) u16, exc_val (m,)
+    u16, n_exc (), n_nz ())``: the host ships a packed nonzero-occupancy
+    bit plane plus compact first-differences over consecutive nonzero
+    pixels (ops/projection.py::project_points_host_m8).  Zero pixels never
+    ride the wire and the zero<->depth delta tails vanish from the
+    exception list, ~27% fewer uplink bytes than 'i8' mode.  The graph
+    runs the same two-cumsum inversion in the compact domain, then one
+    rank-indexed gather expands through the mask — still bit-identical to
+    u16-transfer bitstreams (cfg.transfer_precision='m8').
     """
     tm_planes = jnp.asarray(build_transform_planes(lidar))  # (3, H, W) planar
     H, W = lidar.height, lidar.width
@@ -158,11 +170,36 @@ def build_encode_fn(
         exc_pd: Optional[jnp.ndarray] = None,
         exc_val: Optional[jnp.ndarray] = None,
         n_exc: Optional[jnp.ndarray] = None,
+        d8c: Optional[jnp.ndarray] = None,
+        n_nz: Optional[jnp.ndarray] = None,
     ) -> EncoderOutput:
         key = jax.random.PRNGKey(seed)
         k_seg, k_model = jax.random.split(key)
 
-        if ri_d8:
+        if ri_m8:
+            # Masked-compact inversion: the d8-style two-cumsum + scatter
+            # runs over the compact nonzero stream (length M bucket), then
+            # one monotonic gather expands it through the occupancy mask.
+            M = d8c.shape[0]
+            live = jnp.arange(M) < n_nz
+            C = jnp.cumsum(jnp.where(live, d8c.astype(jnp.int32), 0))
+            m = exc_pd.shape[0]
+            live_e = jnp.arange(m) < n_exc
+            pos = jnp.cumsum(exc_pd.astype(jnp.int32)) - 1
+            pos = jnp.where(live_e, pos, M)
+            Cp = jnp.concatenate([C, jnp.zeros((1,), jnp.int32)])
+            K = jnp.where(live_e, exc_val.astype(jnp.int32) - Cp[pos], 0)
+            Kd = jnp.concatenate([K[:1], K[1:] - K[:-1]])
+            nzq = C + jnp.cumsum(jnp.zeros((M,), jnp.int32).at[pos].add(Kd, mode="drop"))
+            # Unpack the MSB-first bit plane (np.packbits convention) and
+            # rank-gather the compact values back to grid positions.
+            bits = (
+                (points[:, None] >> jnp.arange(7, -1, -1, dtype=jnp.uint8)) & 1
+            ).reshape(-1)[:hw].astype(jnp.int32)
+            rank = jnp.cumsum(bits) - 1
+            qv = jnp.where(bits == 1, nzq[jnp.clip(rank, 0, M - 1)], 0)
+            ri = (qv.astype(jnp.float32) * delta).reshape(H, W)
+        elif ri_d8:
             # Invert the host's row-delta i8 code exactly (integer math):
             # C = cumsum(d8); at each exception e the true grid value is
             # exc_val[e], so a correction K_e = exc_val[e] - C[pos_e] holds
@@ -339,25 +376,33 @@ def make_batch_encoder(
     from_ri: bool = False,
     ri_u16: bool = False,
     ri_d8: bool = False,
+    ri_m8: bool = False,
 ):
     """Jitted batched encoder over (B, N, 3) points (or (B, H, W) range
     images with ``from_ri=True``; (B, H, W) u16 plus a (B,) delta with
     ``ri_u16=True``; (B, H, W) i8 plus (B,) delta, (B, m) u16 exception
-    pos-deltas/values and (B,) counts with ``ri_d8=True``) and (B,) seeds.
+    pos-deltas/values and (B,) counts with ``ri_d8=True``; (B, ceil(hw/8))
+    u8 packed masks plus (B,) delta, (B, m) u16 exceptions, (B,) exc
+    counts, (B, M) i8 compact deltas and (B,) nonzero counts with
+    ``ri_m8=True``) and (B,) seeds.
 
     With a ``mesh`` (1-D, axis 'data'), inputs/outputs are sharded over the
     batch dimension — frame-level data parallelism across chips, the TPU
     equivalent of the reference's ThreadPoolExecutor over frames
     (tools/compress_datalist.py:202-206).
     """
-    if ri_d8:
+    if ri_m8:
+        in_axes = (0, 0, None, 0, 0, 0, 0, 0, 0)
+    elif ri_d8:
         in_axes = (0, 0, None, 0, 0, 0, 0)
     elif ri_u16:
         in_axes = (0, 0, None, 0)
     else:
         in_axes = (0, 0, None)
     fn = jax.vmap(
-        build_encode_fn(lidar, cfg, from_ri=from_ri, ri_u16=ri_u16, ri_d8=ri_d8),
+        build_encode_fn(
+            lidar, cfg, from_ri=from_ri, ri_u16=ri_u16, ri_d8=ri_d8, ri_m8=ri_m8
+        ),
         in_axes=in_axes,
     )
     if mesh is None:
