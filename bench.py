@@ -6,7 +6,7 @@ coder) LAST so drivers that parse the final line get the headline metric.
 
 Round-3 lines:
   1. kitti64e_e2e_encode_*        — config 1 e2e across transfer modes
-     (f32 / u16 / i8+device-entropy flagship), device-only fps, bpp (rans)
+     (u16 / i8 / m8+device-entropy flagship), device-only fps, bpp (rans)
      + reference-parity bzip2 bpp, max-depth-error guardrail
   2. kitti64e_e2e_decode_*        — device decode e2e (u16 downlink) and
      the native host decoder (wire-free direction)
@@ -73,18 +73,10 @@ def _device_args(engine, clouds):
     """Upload one stacked batch; returns the positional args of _encode_b."""
     import jax
 
-    seeds = jax.device_put(np.arange(engine.batch_size, dtype=np.uint32))
-    if engine._d8:
-        d8, deltas, exc_pd, exc_val, n_exc, _ = engine._stack_d8(clouds)
-        return tuple(
-            jax.device_put(a)
-            for a in (d8, seeds, engine._step_arg, deltas, exc_pd, exc_val, n_exc)
-        )
-    pts, deltas, _ = engine._stack(clouds)
-    args = (jax.device_put(pts), seeds, engine._step_arg)
-    if deltas is not None:
-        args += (jax.device_put(deltas),)
-    return args
+    pts, seeds, tail, _ = engine._prepare_batch(
+        clouds, seeds=range(engine.batch_size)
+    )
+    return tuple(jax.device_put(a) for a in (pts, seeds, engine._step_arg, *tail))
 
 
 def bench_config(name, lidar, cfg, pc, n_chips, e2e=False, extra=None, batch=None):
@@ -234,12 +226,16 @@ def main() -> None:
     variants = _jittered_variants(pc, 8)
 
     # ---- config 1 (headline): uniform / point / FPS / default coder (rans)
-    # flagship transfer mode: i8 row-delta uplink + on-device rANS entropy
-    cfg_flag = CodecConfig(transfer_precision="i8", device_entropy=True)
+    # flagship transfer mode: m8 (packed nonzero mask + compact i8 deltas)
+    # uplink + on-device rANS entropy.  A/B vs i8 on this rig (7 paired
+    # windows): m8 median 136 vs 129 fps e2e, uplink 8.36 vs 11.34
+    # MB/batch-64; m8 wins 6/7 pairs (wire-bound rig).  i8 keeps its own
+    # line below for cross-round comparability.
+    cfg_flag = CodecConfig(transfer_precision="m8", device_entropy=True)
     head, engine_flag, blob1, ri1 = bench_config(
         "kitti64e_e2e_encode_throughput_acc0.02_rans",
         lidar64, cfg_flag, pc, n_chips, e2e=True,
-        extra={"transfer": "i8", "entropy": "device"},
+        extra={"transfer": "m8", "entropy": "device"},
     )
     # warm the jittered-content exception bucket so no mid-window compiles
     engine_flag.encode_frames([variants[0]] * BATCH, seeds=range(BATCH))
@@ -262,7 +258,13 @@ def main() -> None:
     )
     emit(head)
 
-    # ---- u16 and f32 transfer modes (continuity with r1/r2 metric names)
+    # ---- i8 / u16 transfer modes (continuity with r1/r2 metric names)
+    line_i8, _, _, _ = bench_config(
+        "kitti64e_e2e_encode_i8_transfer_acc0.02_rans",
+        lidar64, CodecConfig(transfer_precision="i8", device_entropy=True),
+        pc, n_chips, e2e=True, extra={"transfer": "i8", "entropy": "device"},
+    )
+    emit(line_i8)
     line16, engine16, blob16, ri16 = bench_config(
         "kitti64e_e2e_encode_u16_transfer_acc0.02_rans",
         lidar64, CodecConfig(transfer_precision="u16", device_entropy=True),
@@ -286,7 +288,7 @@ def main() -> None:
             "vs_baseline": round(dec_dev / BASELINE_FPS, 3),
             "max_depth_err": round(float(np.abs(rec_ri - ri1).max()), 5),
             "err_bound": round(cfg1.step + delta_dec / 2 + 1e-5, 5),
-            "transfer": "i8-up/d8-down",
+            "transfer": "m8-up/d8-down",
             "chips": n_chips,
         }
     )
@@ -416,7 +418,7 @@ def main() -> None:
             "vs_baseline": round(dl_fps / BASELINE_FPS, 3),
             "frames": len(files),
             "windows": [round(r, 1) for r in dl_rates],
-            "transfer": "i8",
+            "transfer": "m8",
             "entropy": "device",
             "chips": n_chips,
         }
@@ -435,7 +437,7 @@ def main() -> None:
     head["vs_baseline"] = round(med / BASELINE_FPS, 3)
     head["windows_fps"] = [round(w, 3) for w in windows]
     head["best_window_fps"] = round(ordered[-1], 3)
-    head["config"] = "device_entropy+i8"
+    head["config"] = "device_entropy+m8"
     emit(head)
 
 
