@@ -151,4 +151,73 @@ void d8_reconstruct_batch(
   }
 }
 
+void m8_reconstruct_batch(
+    const uint8_t* maskp,  // (B, hw/8) MSB-first nonzero-occupancy bits
+    const int8_t* d8c,     // (B, nz_cap) compact i8 deltas
+    const uint16_t* pd,    // (B, exc_cap) exception pos-deltas (compact dom)
+    const uint16_t* val,   // (B, exc_cap) exception grid values
+    const int32_t* n_nz,   // (B,) live nonzero counts
+    const int32_t* n_exc,  // (B,)
+    const float* delta,    // (B,)
+    int64_t B, int64_t hw, int64_t nz_cap, int64_t exc_cap,
+    float* out) {          // (B, hw)
+  // Inverts the device decoder's m8 downlink (models/decoder.py m8_down
+  // branch — itself the encode uplink's wire code,
+  // ops/projection.py::project_points_host_m8): reconstruct the compact
+  // nonzero stream with the same exception walk as d8_reconstruct_batch,
+  // then expand through the occupancy bit plane.  Frames with
+  // n_nz > nz_cap or n_exc > exc_cap are truncated here and must be
+  // overwritten by the caller's u16 fallback.
+  const int64_t mb = hw / 8;
+  std::vector<float> nzv;
+  for (int64_t i = 0; i < B; ++i) {
+    const int8_t* d = d8c + i * nz_cap;
+    const uint16_t* epd = pd + i * exc_cap;
+    const uint16_t* ev = val + i * exc_cap;
+    const uint8_t* m = maskp + i * mb;
+    const float dl = delta[i];
+    float* o = out + i * hw;
+    int64_t n = (int64_t)n_nz[i];
+    if (n > nz_cap) n = nz_cap;
+    int64_t ne = (int64_t)n_exc[i];
+    if (ne > exc_cap) ne = exc_cap;
+    nzv.resize((size_t)(n > 0 ? n : 0));
+    int64_t p = 0, pos = -1;
+    int32_t q = 0;
+    for (int64_t e = 0; e < ne; ++e) {
+      const int64_t next = pos + (int64_t)epd[e];
+      if (next >= n) break;
+      for (; p < next; ++p) {
+        q += (int32_t)d[p];
+        nzv[(size_t)p] = (float)q * dl;
+      }
+      q = (int32_t)ev[e];
+      nzv[(size_t)p++] = (float)q * dl;
+      pos = next;
+    }
+    for (; p < n; ++p) {
+      q += (int32_t)d[p];
+      nzv[(size_t)p] = (float)q * dl;
+    }
+    // Expand through the occupancy plane (MSB-first bits).
+    int64_t r = 0;
+    for (int64_t byte = 0; byte < mb; ++byte) {
+      const uint8_t bits = m[byte];
+      float* ob = o + byte * 8;
+      if (bits == 0) {
+        for (int k = 0; k < 8; ++k) ob[k] = 0.0f;
+        continue;
+      }
+      for (int k = 0; k < 8; ++k) {
+        if (bits & (uint8_t)(0x80u >> k)) {
+          ob[k] = r < n ? nzv[(size_t)r] : 0.0f;
+          ++r;
+        } else {
+          ob[k] = 0.0f;
+        }
+      }
+    }
+  }
+}
+
 }  // extern "C"

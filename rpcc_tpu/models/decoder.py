@@ -51,10 +51,19 @@ class DecoderOutput(NamedTuple):
     # byte-identical reconstruction.  ``range_u16`` stays in the outputs
     # (not downloaded) as the lossless per-frame fallback when a frame
     # overflows ``d8_cap`` exceptions.
-    d8: Optional[jnp.ndarray] = None  # (H, W) i8
+    d8: Optional[jnp.ndarray] = None  # (H, W) i8 — or (NZ_CAP,) compact in m8
     exc_pd: Optional[jnp.ndarray] = None  # (CAP,) u16 position deltas
     exc_val: Optional[jnp.ndarray] = None  # (CAP,) u16 grid values
     n_exc: Optional[jnp.ndarray] = None  # () i32 live exception count
+    # m8 downlink view (m8_down=True only): the encode uplink's
+    # masked-compact wire code (ops/projection.py::project_points_host_m8)
+    # built device-side — packed nonzero-occupancy bit plane + i8
+    # first-differences over *consecutive nonzero* pixels only.  The
+    # zero<->depth transitions leave both the delta plane and the
+    # exception list, so the downlink drops ~26% vs the d8 view on KITTI
+    # (~173 -> ~128 KB/frame).  ``d8`` holds the (NZ_CAP,) compact deltas.
+    maskp: Optional[jnp.ndarray] = None  # (ceil(hw/8),) u8
+    n_nz: Optional[jnp.ndarray] = None  # () i32 live nonzero count
 
 
 # Decode-downlink exception capacity: the decoded 64E KITTI grid measures
@@ -62,6 +71,11 @@ class DecoderOutput(NamedTuple):
 # encode uplink, whose buckets are 8192/12288).  One fixed program at 12288
 # covers both; overflow falls back to the per-frame u16 grid download.
 D8_DOWN_CAP = 12288
+# m8 downlink capacities (64E KITTI measured: ~92.6k nonzero pixels of
+# 128k, ~3.5k exceptions — per-row resets plus |diff|>127 in the compact
+# domain).  Overflow of either cap falls back to the u16 grid download.
+M8_DOWN_NZ_CAP = 98304
+M8_DOWN_EXC_CAP = 6144
 
 
 def build_decode_fn(
@@ -69,6 +83,8 @@ def build_decode_fn(
     cfg: CodecConfig,
     d8_down: bool = False,
     d8_cap: Optional[int] = None,
+    m8_down: bool = False,
+    m8_caps: Optional[tuple] = None,
 ):
     """Build the raw ``decode(contour (H,W) u8, sequence (HW,) i32, stream
     (HW,) i32, model_param (M,4) f32, step, salience (M,) i32|unused) ->
@@ -85,6 +101,11 @@ def build_decode_fn(
     # cap >= hw can never overflow (every pixel an exception at worst), so
     # small grids always take the lossless d8 path with zero waste.
     d8_cap = min(D8_DOWN_CAP, hw) if d8_cap is None else int(d8_cap)
+    nz_cap, m8_exc_cap = (
+        (min(M8_DOWN_NZ_CAP, hw), min(M8_DOWN_EXC_CAP, hw))
+        if m8_caps is None
+        else (int(m8_caps[0]), int(m8_caps[1]))
+    )
     tm_planes_flat = jnp.asarray(build_transform_planes(lidar)).reshape(3, hw)
     num_models = num_model_rows(cfg)
 
@@ -156,7 +177,7 @@ def build_decode_fn(
             step_max = step if cfg.uniform else jnp.max(step)
             delta = jnp.maximum(step_max / 16.0, jnp.max(ri) / 65535.0)
             riq = jnp.minimum(jnp.rint(ri / delta), 65535.0).astype(jnp.uint16)
-            if not d8_down:
+            if not (d8_down or m8_down):
                 return DecoderOutput(ri, seg, riq, delta.astype(jnp.float32))
             # Row-delta i8 wire code of the q grid (the encode uplink's
             # project_points_host_d8 format, built device-side): flat
@@ -166,6 +187,57 @@ def build_decode_fn(
             # serialize on TPU); positions are visited in order so the
             # exception list comes out position-sorted for free.
             qf = riq.astype(jnp.int32).reshape(hw)
+            if m8_down:
+                # Masked-compact wire code (the encode uplink's m8 format,
+                # project_points_host_m8) built in-graph: occupancy bit
+                # plane + i8 diffs over consecutive nonzero pixels.
+                # Compaction is cumsum + sorted scatters (rank-slot), no
+                # gathers; resets (first live pixel of each row) and
+                # |diff| > 127 become (pos-delta u16, value u16)
+                # exceptions in the compact domain, position-sorted for
+                # free.  Row resets bound exception pos-gaps by W so the
+                # u16 pos-deltas never overflow.
+                live = qf != 0
+                from rpcc_tpu.ops.contour import pack_bits_msb
+
+                maskp = pack_bits_msb(live)
+                n_nz = live.sum().astype(jnp.int32)
+                nzrank = jnp.cumsum(live) - 1
+                slot = jnp.where(live, nzrank, nz_cap)
+                cq = jnp.zeros((nz_cap,), jnp.int32).at[slot].set(
+                    qf, mode="drop"
+                )
+                m2 = live.reshape(H, W)
+                reset2 = m2 & (jnp.cumsum(m2, axis=1) == 1)
+                creset = jnp.zeros((nz_cap,), jnp.bool_).at[slot].set(
+                    reset2.reshape(hw), mode="drop"
+                )
+                cdiff = cq - jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32), cq[:-1]]
+                )
+                idx = jnp.arange(nz_cap, dtype=jnp.int32)
+                cexc = (creset | (cdiff < -128) | (cdiff > 127)) & (
+                    idx < n_nz
+                )
+                d8c = jnp.where(cexc, 0, cdiff).astype(jnp.int8)
+                n_exc = cexc.sum().astype(jnp.int32)
+                eslot = jnp.where(cexc, jnp.cumsum(cexc) - 1, m8_exc_cap)
+                pos = jnp.full((m8_exc_cap,), -1, jnp.int32).at[eslot].set(
+                    idx, mode="drop"
+                )
+                val = jnp.zeros((m8_exc_cap,), jnp.uint16).at[eslot].set(
+                    cq.astype(jnp.uint16), mode="drop"
+                )
+                pd = (
+                    pos
+                    - jnp.concatenate(
+                        [jnp.full((1,), -1, jnp.int32), pos[:-1]]
+                    )
+                ).astype(jnp.uint16)
+                return DecoderOutput(
+                    ri, seg, riq, delta.astype(jnp.float32),
+                    d8c, pd, val, n_exc, maskp, n_nz,
+                )
             diff = qf - jnp.concatenate([jnp.zeros((1,), jnp.int32), qf[:-1]])
             col0 = (jnp.arange(hw) % W) == 0
             exc = col0 | (diff < -128) | (diff > 127)
@@ -203,14 +275,20 @@ def make_batch_decoder(
     i8_stream: bool = False,
     d8_down: bool = False,
     d8_cap: Optional[int] = None,
+    m8_down: bool = False,
+    m8_caps: Optional[tuple] = None,
 ):
     """Jitted batched decoder; batch dim sharded over mesh axis 'data'.
 
     With ``i8_stream=True`` the stream argument is the (B, m) i8 transfer
     view and two (B, CAP) exception arrays follow (after salience in
     non-uniform mode).  With ``d8_down=True`` the output additionally
-    carries the i8 row-delta downlink view of the u16 snap grid."""
-    base = build_decode_fn(lidar, cfg, d8_down=d8_down, d8_cap=d8_cap)
+    carries the i8 row-delta downlink view of the u16 snap grid; with
+    ``m8_down=True`` the masked-compact (m8) downlink view instead."""
+    base = build_decode_fn(
+        lidar, cfg, d8_down=d8_down, d8_cap=d8_cap,
+        m8_down=m8_down, m8_caps=m8_caps,
+    )
     if cfg.uniform:
         if i8_stream:
             fn = jax.vmap(

@@ -132,6 +132,86 @@ def d8_reconstruct_batch(
     return out
 
 
+def m8_reconstruct_batch(
+    maskp: np.ndarray,  # (B, hw/8) u8 packed nonzero-occupancy bits
+    d8c: np.ndarray,  # (B, NZ_CAP) i8 compact deltas
+    pd: np.ndarray,  # (B, EXC_CAP) u16 exception pos-deltas (compact domain)
+    val: np.ndarray,  # (B, EXC_CAP) u16 exception grid values
+    n_nz: np.ndarray,  # (B,) i32 live nonzero counts
+    n_exc: np.ndarray,  # (B,) i32
+    delta: np.ndarray,  # (B,) f32 per-frame snap grid
+    H: int,
+    W: int,
+) -> np.ndarray:
+    """Invert the device decoder's m8 masked-compact downlink -> (B,H,W) f32.
+
+    The wire code is the encode uplink's m8 format
+    (ops/projection.py::project_points_host_m8) built device-side
+    (models/decoder.py m8_down branch): occupancy bit plane + i8 diffs over
+    consecutive nonzero pixels, exceptions in the compact domain.  Output is
+    byte-identical to ``range_u16.astype(f32) * delta``.  Frames with
+    ``n_nz`` or ``n_exc`` over their caps are truncated here and must be
+    overwritten by the caller's u16 fallback.
+    """
+    from rpcc_tpu.codec.lz4block import native_lib
+
+    B = maskp.shape[0]
+    hw = H * W
+    nz_cap = d8c.shape[1]
+    exc_cap = pd.shape[1]
+    out = np.empty((B, H, W), np.float32)
+    lib = native_lib()
+    if lib is not None and hasattr(lib, "m8_reconstruct_batch"):
+        import ctypes as ct
+
+        mc = np.ascontiguousarray(maskp)
+        dc8 = np.ascontiguousarray(d8c)
+        pdc = np.ascontiguousarray(pd)
+        valc = np.ascontiguousarray(val)
+        nzc = np.ascontiguousarray(n_nz, np.int32)
+        nec = np.ascontiguousarray(n_exc, np.int32)
+        dlc = np.ascontiguousarray(delta, np.float32)
+        lib.m8_reconstruct_batch(
+            mc.ctypes.data_as(ct.c_void_p),
+            dc8.ctypes.data_as(ct.c_void_p),
+            pdc.ctypes.data_as(ct.c_void_p),
+            valc.ctypes.data_as(ct.c_void_p),
+            nzc.ctypes.data_as(ct.c_void_p),
+            nec.ctypes.data_as(ct.c_void_p),
+            dlc.ctypes.data_as(ct.c_void_p),
+            ct.c_int64(B),
+            ct.c_int64(hw),
+            ct.c_int64(nz_cap),
+            ct.c_int64(exc_cap),
+            out.ctypes.data_as(ct.c_void_p),
+        )
+        return out
+    for i in range(B):
+        n = min(int(n_nz[i]), nz_cap)
+        ne = min(int(n_exc[i]), exc_cap)
+        C = np.cumsum(d8c[i, :n].astype(np.int32), dtype=np.int32)
+        if ne > 0 and n > 0:
+            pos = np.cumsum(pd[i, :ne].astype(np.int64)) - 1
+            pos = pos[pos < n]
+            K = val[i, : pos.shape[0]].astype(np.int32) - C[pos]
+            corr = np.zeros(n, np.int32)
+            corr[pos] = np.diff(K, prepend=np.int32(0))
+            nzq = C + np.cumsum(corr, dtype=np.int32)
+        else:
+            nzq = C
+        bits = np.unpackbits(maskp[i])[:hw]
+        rank = np.cumsum(bits) - 1
+        # rank >= n only on cap overflow (caller overwrites via u16
+        # fallback); emit 0 there to stay bit-identical to the native pass.
+        q = np.where(
+            (bits == 1) & (rank < n),
+            nzq[np.clip(rank, 0, max(n - 1, 0))] if n > 0 else np.int32(0),
+            0,
+        )
+        out[i] = (q.astype(np.float32) * np.float32(delta[i])).reshape(H, W)
+    return out
+
+
 class HostDecoder:
     """Decode .rpcc payloads entirely on the host.
 

@@ -70,6 +70,8 @@ class BatchEngine:
         workers: int = 4,
         d8_down: Optional[bool] = None,
         d8_cap: Optional[int] = None,
+        m8_down: Optional[bool] = None,
+        m8_caps: Optional[tuple] = None,
     ):
         self.lidar = lidar
         self.cfg = cfg
@@ -100,7 +102,23 @@ class BatchEngine:
         # byte-identical after the host's fused native reconstruction).
         # ``d8_down=False`` keeps the raw (B, H, W) u16 download.
         self._u16_down = cfg.transfer_precision in ("u16", "i8", "m8")
-        self._d8_down = self._u16_down if d8_down is None else bool(d8_down)
+        # ``m8_down`` ships the decode downlink as the masked-compact (m8)
+        # wire code instead — ~26% fewer bytes again on KITTI (the
+        # zero<->depth delta tails leave the wire entirely); explicit
+        # ``d8_down=True`` keeps the row-delta view, ``d8_down=False`` the
+        # raw u16 grid.
+        self._m8_down = (
+            (self._u16_down and d8_down is None)
+            if m8_down is None
+            else bool(m8_down)
+        )
+        self._d8_down = (
+            (self._u16_down and not self._m8_down)
+            if d8_down is None
+            else bool(d8_down)
+        )
+        if self._m8_down:
+            self._d8_down = False
         # Device entropy: the encoder graph also emits the rANS containers
         # for the residual/contour fields (cfg.device_entropy, rans only).
         self._dev_entropy = bool(cfg.device_entropy) and cfg.basic_compressor == "rans"
@@ -115,10 +133,12 @@ class BatchEngine:
         # time a degenerate frame shows up mid-production (cached after).
         # Call prewarm_fallback_decoder() during setup to pay it up front.
         self._decode_b = make_batch_decoder(
-            lidar, cfg, mesh, d8_down=self._d8_down, d8_cap=d8_cap
+            lidar, cfg, mesh, d8_down=self._d8_down, d8_cap=d8_cap,
+            m8_down=self._m8_down, m8_caps=m8_caps,
         )
         self._decode_b_i8 = make_batch_decoder(
-            lidar, cfg, mesh, i8_stream=True, d8_down=self._d8_down, d8_cap=d8_cap
+            lidar, cfg, mesh, i8_stream=True, d8_down=self._d8_down,
+            d8_cap=d8_cap, m8_down=self._m8_down, m8_caps=m8_caps,
         )
         self.entropy = BasicCompressor(
             method_name=cfg.basic_compressor, contour_shape=(self.H, self.W)
@@ -699,7 +719,10 @@ class BatchEngine:
             dec = dec_fn(*args, *tail)
         else:
             dec = dec_fn(*args, sal, *tail)
-        if self._d8_down:
+        if self._m8_down:
+            _copy_async(dec.maskp, dec.d8, dec.exc_pd, dec.exc_val,
+                        dec.n_exc, dec.n_nz, dec.delta)
+        elif self._d8_down:
             _copy_async(dec.d8, dec.exc_pd, dec.exc_val, dec.n_exc, dec.delta)
         elif self._u16_down:
             _copy_async(dec.range_u16, dec.delta)
@@ -719,6 +742,29 @@ class BatchEngine:
         ~42x larger over the wire; back-projection is one host multiply.
         In u16 transfer mode the u16 snap view halves it again; the default
         d8 view (i8 row-deltas + exceptions) takes ~31% more off that."""
+        if self._m8_down:
+            from rpcc_tpu.models.host_decoder import m8_reconstruct_batch
+
+            n_exc = np.asarray(dec.n_exc)
+            n_nz = np.asarray(dec.n_nz)
+            d8c = np.asarray(dec.d8)
+            pd = np.asarray(dec.exc_pd)
+            ris = m8_reconstruct_batch(
+                np.asarray(dec.maskp), d8c, pd,
+                np.asarray(dec.exc_val), n_nz, n_exc,
+                np.asarray(dec.delta), self.H, self.W,
+            )
+            over = np.flatnonzero(
+                (n_nz[:live] > d8c.shape[1]) | (n_exc[:live] > pd.shape[1])
+            )
+            if over.size:
+                # Rare lossless fallback: a frame overflowing either cap
+                # downloads its raw u16 grid rows instead.
+                riq = np.asarray(dec.range_u16)
+                d = np.asarray(dec.delta)
+                for i in over:
+                    ris[i] = riq[i].astype(np.float32) * d[i]
+            return ris, live
         if self._d8_down:
             from rpcc_tpu.models.host_decoder import d8_reconstruct_batch
 

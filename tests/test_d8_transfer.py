@@ -98,7 +98,8 @@ def test_d8_downlink_matches_u16_downlink_exactly():
     host_decoder.d8_reconstruct_batch)."""
     clouds = [synth_scene(seed=s) for s in range(4)]
     cfg = CodecConfig(cluster_num=16, transfer_precision="u16")
-    e_d8 = BatchEngine(SMALL, cfg, batch_size=4, workers=2)  # d8 is default
+    # m8_down is the engine default since round 3; request d8 explicitly
+    e_d8 = BatchEngine(SMALL, cfg, batch_size=4, workers=2, d8_down=True)
     e_u16 = BatchEngine(SMALL, cfg, batch_size=4, workers=2, d8_down=False)
     assert e_d8._d8_down and not e_u16._d8_down
     blobs = [b for b, _ in e_u16.encode_frames(clouds, seeds=range(4))]
@@ -112,7 +113,9 @@ def test_d8_downlink_overflow_falls_back_lossless():
     through the u16 fallback byte-identical, not corrupted."""
     clouds = [synth_scene(seed=s) for s in range(2)]
     cfg = CodecConfig(cluster_num=16, transfer_precision="u16")
-    e_tiny = BatchEngine(SMALL, cfg, batch_size=2, workers=2, d8_cap=8)
+    e_tiny = BatchEngine(
+        SMALL, cfg, batch_size=2, workers=2, d8_down=True, d8_cap=8
+    )
     e_u16 = BatchEngine(SMALL, cfg, batch_size=2, workers=2, d8_down=False)
     blobs = [b for b, _ in e_u16.encode_frames(clouds, seeds=range(2))]
     dec, live = e_tiny.decode_blobs_device(blobs)
