@@ -234,3 +234,62 @@ extern "C" int64_t project_bin_raster_d8(
   }
   return n_exc;
 }
+
+// m8 masked-compact transfer variant: u16-snap, then drop the zero pixels
+// from the wire entirely — a packed MSB-first occupancy bit plane plus i8
+// first-differences over *consecutive nonzero* pixels.  Exceptions (d8c
+// slot 0, (pos-delta u16, absolute q u16) side lists, positions in the
+// COMPACT domain) are the first nonzero pixel of each row — bounding
+// exception pos-gaps by W so u16 never overflows — and any compact delta
+// outside [-128, 127].  The device inverts in the compact domain with the
+// same two-cumsum + small-scatter as ri_d8, then expands through the mask
+// with one rank-indexed gather (models/encoder.py ri_m8 path).  ~8.4 MB
+// per 64-frame KITTI batch vs ~11.3 for 'i8'.  Bit-identical to the numpy
+// path in ops/projection.py::project_points_host_m8.  d8c/exc buffers
+// must hold H*W entries (worst case); maskp must hold hw/8 bytes and hw
+// must be a multiple of 8 (range images are).  Writes the nonzero count
+// to *n_nz_out and returns the exception count.
+extern "C" int64_t project_bin_raster_m8(
+    const float *pts, int64_t n, int64_t stride, int32_t H, int32_t W,
+    int32_t even_dist, float hfov, float vmin, float vres,
+    const float *v_angles, int32_t n_chan, float step_over16,
+    float *ri_scratch, uint16_t *q_scratch, float *delta_out,
+    uint8_t *maskp_out, int8_t *d8c_out, uint16_t *exc_pd,
+    uint16_t *exc_val, int64_t *n_nz_out) {
+  project_bin_raster_u16(pts, n, stride, H, W, even_dist, hfov, vmin, vres,
+                         v_angles, n_chan, step_over16, ri_scratch, q_scratch,
+                         delta_out);
+  int64_t nnz = 0, n_exc = 0, prev_exc_rank = -1;
+  int32_t prev_q = 0;
+  int64_t p = 0;
+  uint8_t byte = 0;
+  for (int32_t r = 0; r < H; ++r) {
+    bool row_first = true;
+    for (int32_t c = 0; c < W; ++c, ++p) {
+      const int32_t q = (int32_t)q_scratch[p];
+      const int k = (int)(p & 7);
+      if (q != 0) {
+        byte |= (uint8_t)(0x80u >> k);
+        const int32_t dlt = q - prev_q;
+        if (!row_first && dlt >= -128 && dlt <= 127) {
+          d8c_out[nnz] = (int8_t)dlt;
+        } else {
+          d8c_out[nnz] = 0;
+          exc_pd[n_exc] = (uint16_t)(nnz - prev_exc_rank);
+          exc_val[n_exc] = (uint16_t)q;
+          prev_exc_rank = nnz;
+          ++n_exc;
+        }
+        prev_q = q;
+        row_first = false;
+        ++nnz;
+      }
+      if (k == 7) {
+        maskp_out[p >> 3] = byte;
+        byte = 0;
+      }
+    }
+  }
+  *n_nz_out = nnz;
+  return n_exc;
+}

@@ -499,6 +499,69 @@ def project_points_host_m8(points: np.ndarray, lidar: LidarConfig, step_over16: 
     bitstream stays bit-identical to u16-transfer mode.
     """
     H, W = lidar.height, lidar.width
+    from rpcc_tpu.codec.lz4block import native_lib
+
+    lib = native_lib()
+    hw = H * W
+    if lib is not None and hasattr(lib, "project_bin_raster_m8") and hw % 8 == 0:
+        import ctypes as ct
+
+        pts = np.asarray(points, np.float32)
+        if pts.ndim != 2 or pts.shape[1] < 3:
+            raise ValueError(f"points must be (N, >=3), got {pts.shape}")
+        if pts.strides[1] != 4:
+            pts = np.ascontiguousarray(pts[:, :3], np.float32)
+        stride = pts.strides[0] // 4
+        if lidar.even_dist:
+            vres = np.float32((lidar.vertical_max - lidar.vertical_min) / (H - 1))
+            va_ptr, n_chan = None, 0
+        else:
+            vres = np.float32(0.0)
+            va = np.radians(
+                np.asarray(lidar.vertical_angles_deg, np.float64)
+            ).astype(np.float32)
+            va = np.ascontiguousarray(va)
+            va_ptr, n_chan = va.ctypes.data_as(ct.c_void_p), int(va.shape[0])
+        scratch = np.zeros(hw, np.float32)
+        q_scratch = np.empty(hw, np.uint16)
+        delta = np.zeros(1, np.float32)
+        maskp = np.empty(hw // 8, np.uint8)
+        d8c = np.empty(hw, np.int8)
+        epd = np.empty(hw, np.uint16)
+        eval_ = np.empty(hw, np.uint16)
+        n_nz = np.zeros(1, np.int64)
+        lib.project_bin_raster_m8.restype = ct.c_int64
+        n_exc = lib.project_bin_raster_m8(
+            pts.ctypes.data_as(ct.c_void_p),
+            ct.c_int64(pts.shape[0]),
+            ct.c_int64(stride),
+            ct.c_int32(H),
+            ct.c_int32(W),
+            ct.c_int32(1 if lidar.even_dist else 0),
+            ct.c_float(np.float32(lidar.horizontal_fov)),
+            ct.c_float(np.float32(lidar.vertical_min)),
+            ct.c_float(vres),
+            va_ptr,
+            ct.c_int32(n_chan),
+            ct.c_float(np.float32(step_over16)),
+            scratch.ctypes.data_as(ct.c_void_p),
+            q_scratch.ctypes.data_as(ct.c_void_p),
+            delta.ctypes.data_as(ct.c_void_p),
+            maskp.ctypes.data_as(ct.c_void_p),
+            d8c.ctypes.data_as(ct.c_void_p),
+            epd.ctypes.data_as(ct.c_void_p),
+            eval_.ctypes.data_as(ct.c_void_p),
+            n_nz.ctypes.data_as(ct.c_void_p),
+        )
+        nn = int(n_nz[0])
+        return (
+            maskp,
+            d8c[:nn].copy(),
+            epd[:n_exc].copy(),
+            eval_[:n_exc].copy(),
+            nn,
+            np.float32(delta[0]),
+        )
     q, d = project_points_host_u16(points, lidar, step_over16)
     qi = q.astype(np.int32).reshape(-1)
     mask = qi != 0

@@ -91,3 +91,27 @@ def test_m8_engine_device_entropy_combo():
     assert all(len(b) > 0 for b, _ in res)
     dec = eng.decode_blobs([b for b, _ in res])
     assert len(dec) == 2 and all(np.isfinite(d).all() for d in dec)
+
+
+def test_m8_native_projection_matches_numpy(monkeypatch):
+    """The fused C++ m8 projection (raster.cpp::project_bin_raster_m8) is
+    bit-identical to the numpy path on every output."""
+    import rpcc_tpu.codec.lz4block as lz4block
+    from rpcc_tpu.codec.lz4block import native_lib
+
+    lib = native_lib()
+    if lib is None or not hasattr(lib, "project_bin_raster_m8"):
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    floor = np.float32(CodecConfig().step / 16.0)
+    for seed in range(3):
+        pc = synth_scene(seed=seed)
+        nat = project_points_host_m8(pc, SMALL, floor)
+        monkeypatch.setattr(lz4block, "native_lib", lambda: None)
+        ref = project_points_host_m8(pc, SMALL, floor)
+        monkeypatch.undo()
+        for i, (a, b) in enumerate(zip(nat, ref)):
+            a, b = np.asarray(a), np.asarray(b)
+            assert a.dtype == b.dtype and a.shape == b.shape, i
+            assert np.array_equal(a, b), i
