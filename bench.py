@@ -288,7 +288,7 @@ def main() -> None:
             "vs_baseline": round(dec_dev / BASELINE_FPS, 3),
             "max_depth_err": round(float(np.abs(rec_ri - ri1).max()), 5),
             "err_bound": round(cfg1.step + delta_dec / 2 + 1e-5, 5),
-            "transfer": "m8-up/d8-down",
+            "transfer": "m8-up/m8-down",
             "chips": n_chips,
         }
     )
