@@ -265,7 +265,7 @@ def main() -> None:
         pc, n_chips, e2e=True, extra={"transfer": "i8", "entropy": "device"},
     )
     emit(line_i8)
-    line16, engine16, blob16, ri16 = bench_config(
+    line16, _, _, _ = bench_config(
         "kitti64e_e2e_encode_u16_transfer_acc0.02_rans",
         lidar64, CodecConfig(transfer_precision="u16", device_entropy=True),
         pc, n_chips, e2e=True, extra={"transfer": "u16", "entropy": "device"},

@@ -133,6 +133,21 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ]
+        fn = getattr(lib, "project_bin_raster_m8", None)
+        if fn is not None:
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_float, ctypes.c_float, ctypes.c_float,
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_float,
+            ] + [ctypes.c_void_p] * 8
+        fn = getattr(lib, "m8_reconstruct_batch", None)
+        if fn is not None:
+            fn.restype = None
+            fn.argtypes = [ctypes.c_void_p] * 7 + [ctypes.c_int64] * 4 + [
+                ctypes.c_void_p,
+            ]
         fn = getattr(lib, "d8_reconstruct_batch", None)
         if fn is not None:
             fn.restype = None

@@ -352,22 +352,31 @@ void rans_contour_encode_frames(
 // (B, L, Tmax) output of rans_decode_ctx_batch; frame b's stream position
 // j lives at lane j / Ts[b], offset j % Ts[b].  Escape substitution runs
 // in stream order (matching zz[sym == ESCAPE] = escapes) and d[0] is
-// forced to 0 after substitution, exactly like the numpy path.
-void rans_delta_finalize_frames(
+// forced to 0 after substitution, exactly like the numpy path.  Returns
+// the number of frames whose decoded ESCAPE occurrences differ from their
+// escape-list length — a corrupt/truncated container; the numpy path's
+// boolean-mask assignment raises on the same mismatch, and the Python
+// wrapper must raise too rather than return silently-garbage residuals.
+int rans_delta_finalize_frames(
     const int32_t* sym, int B, int L, int Tmax, int A,
     const int32_t* Ts, const int64_t* ns, const int64_t* q0s,
     const uint64_t* esc_ptrs, const int32_t* esc_counts,
     const uint8_t* dtypes,   // 0=i16, 1=u16, 2=i32
     uint64_t* out_ptrs) {
   const int32_t ESC = A - 1;
+  int bad = 0;
   for (int b = 0; b < B; ++b) {
     const int32_t T = Ts[b];
     const int64_t n = ns[b];
-    if (n <= 0 || T <= 0) continue;
+    const int32_t n_esc = esc_counts[b];
+    if (n <= 0 || T <= 0) {
+      if (n_esc > 0) ++bad;  // escapes for an empty stream: corrupt
+      continue;
+    }
     const int32_t* s = sym + (int64_t)b * L * Tmax;
     const uint32_t* esc = (const uint32_t*)esc_ptrs[b];
-    const int32_t n_esc = esc_counts[b];
     int64_t ei = 0;
+    int64_t seen = 0;
     int64_t q = q0s[b];
     const uint8_t dt = dtypes[b];
     int16_t* o16 = (int16_t*)out_ptrs[b];
@@ -380,7 +389,10 @@ void rans_delta_finalize_frames(
       if (lim > T) lim = T;
       for (int64_t t = 0; t < lim; ++t, ++j) {
         int64_t zz = sl[t];
-        if (zz == ESC && ei < n_esc) zz = (int64_t)esc[ei++];
+        if (zz == ESC) {
+          ++seen;
+          if (ei < n_esc) zz = (int64_t)esc[ei++];
+        }
         int64_t d = (j == 0) ? 0 : ((zz >> 1) ^ -(zz & 1));
         q += d;
         if (dt == 0) o16[j] = (int16_t)q;
@@ -388,7 +400,9 @@ void rans_delta_finalize_frames(
         else o32[j] = (int32_t)q;
       }
     }
+    if (seen != (int64_t)n_esc) ++bad;
   }
+  return bad;
 }
 
 // De-skew wavefront-decoded contour symbols and packbits MSB-first over

@@ -352,6 +352,27 @@ def decompress_contour_batch(blobs: Sequence[bytes]) -> List[bytes]:
     return [np.packbits(bits[i].reshape(-1)).tobytes() for i in range(B)]
 
 
+def batch_decode_big_fields(packed: Sequence[dict]):
+    """Batch-decode the two big fields across a blob batch when every frame
+    carries a matching container magic: ``-> (resid_bytes | None,
+    contour_bytes | None)`` with one list entry per frame.
+
+    Single-frame CLI blobs may pick plain bz2 for small residual fields
+    (``compress`` candidates) — a mixed batch returns None for that field
+    and the caller dispatches each frame on its own magic.  Shared by
+    BatchEngine._prepare_decode and HostDecoder.entropy_decode_blobs so the
+    two decode paths can never disagree on which blobs batch-decode.
+    """
+    delta_magics = (MAGIC_DELTA, MAGIC_CTX, MAGIC_BZD)
+    resid = None
+    contour = None
+    if all(p["residual_quantized"][0] in delta_magics for p in packed):
+        resid = decompress_delta_batch([p["residual_quantized"] for p in packed])
+    if all(p["contour_map"][0] == MAGIC_BITS for p in packed):
+        contour = decompress_contour_batch([p["contour_map"] for p in packed])
+    return resid, contour
+
+
 # --------------------------------------------------- bz2-over-delta variant
 def _compress_bzd(sym, escapes, q0: int, n: int, dtype) -> bytes:
     """'Z' container: the same zigzag-delta stream, bzip2-coded.  On KITTI
@@ -719,6 +740,14 @@ def decompress_delta_batch(blobs: Sequence[bytes]) -> List[bytes]:
         sym2d = sym_all[i].reshape(lanes, T_max)[:, :T].reshape(-1)
         sym = sym2d[:n].astype(np.int64)
         zz = sym.copy()
+        n_esc_seen = int((sym == ESCAPE).sum())
+        if n_esc_seen != escapes.shape[0]:
+            # Same loud failure as the native finalize: a corrupt/truncated
+            # container must never return silently-garbage residuals.
+            raise ValueError(
+                f"corrupt delta container: frame {i} decoded {n_esc_seen} "
+                f"ESCAPE symbols for an escape list of {escapes.shape[0]}"
+            )
         if escapes.shape[0]:
             zz[sym == ESCAPE] = escapes
         d = _unzigzag(zz)

@@ -52,7 +52,9 @@ def _lib():
                 [ct.c_void_p, ct.c_int, ct.c_int64] + [ct.c_int] * 3 + [ct.c_void_p] * 5
             )
         if hasattr(lib, "rans_delta_finalize_frames"):
-            lib.rans_delta_finalize_frames.restype = None
+            # returns the count of frames whose ESCAPE occurrences mismatch
+            # their escape list (corrupt container) — wrapper raises on it
+            lib.rans_delta_finalize_frames.restype = ct.c_int
             lib.rans_delta_finalize_frames.argtypes = (
                 [ct.c_void_p] + [ct.c_int] * 4 + [ct.c_void_p] * 7
             )
@@ -266,12 +268,19 @@ def delta_finalize_frames_3d(sym3d, A, Ts, ns, q0s, escapes, dtypes):
         for n, dc in zip(ns_c, dt_codes)
     ]
     out_ptrs = np.asarray([o.ctypes.data for o in outs], np.uint64)
-    lib.rans_delta_finalize_frames(
+    bad = lib.rans_delta_finalize_frames(
         sym_c.ctypes.data, B, L, Tmax, A,
         Ts_c.ctypes.data, ns_c.ctypes.data, q0s_c.ctypes.data,
         esc_ptrs.ctypes.data, esc_counts.ctypes.data,
         dt_codes.ctypes.data, out_ptrs.ctypes.data,
     )
+    if bad:
+        # The numpy tail raises the same way (zz[sym == ESCAPE] = escapes is
+        # a shape-checked assignment): never hand back garbage residuals.
+        raise ValueError(
+            f"corrupt delta container: {bad} frame(s) decoded an ESCAPE "
+            "count different from their escape list"
+        )
     return outs
 
 

@@ -64,11 +64,22 @@ def _decode_frame_np(
         plane_pred = np.where(denom == 0.0, np.float32(0.0), -d / np.where(denom == 0.0, 1.0, denom))
     pred = np.where(a + b + c == 0.0, d, plane_pred).astype(np.float32)
     if salience is not None and level_acc is not None:
-        st = level_acc[np.clip(salience[np.clip(seg, 0, M - 1)], 0, level_acc.shape[0] - 1)]
+        # Out-of-range salience levels fall back to the uniform step, same
+        # as the native kernel (decode.cpp: `if (lv >= 0 && lv < n_levels)`).
+        lv = salience[np.clip(seg, 0, M - 1)].astype(np.int64)
+        st = np.where(
+            lv < level_acc.shape[0],
+            level_acc[np.minimum(lv, level_acc.shape[0] - 1)],
+            np.float32(step),
+        )
     else:
         st = np.float32(step)
     ri = pred + q_pix * st
-    return np.where(seg == 1, np.float32(0.0), ri).reshape(H, W)
+    # id 1 (zero pixels) and out-of-range ids >= M decode to r = 0, matching
+    # the native kernel's `id != 1 && id >= 0 && id < M` guard — a decoder
+    # configured with a smaller cluster_num than the encoder must produce
+    # the same output from either backend.
+    return np.where((seg == 1) | (seg >= M), np.float32(0.0), ri).reshape(H, W)
 
 
 def d8_reconstruct_batch(
@@ -265,7 +276,7 @@ class HostDecoder:
         models = np.ascontiguousarray(models, np.float32)
         # Wire-derived fields feed raw C pointers below: validate lengths so
         # a truncated/corrupt .rpcc raises instead of reading out of bounds.
-        if contour_packed.size < self.hw // 8:
+        if contour_packed.size < (self.hw + 7) // 8:  # kernel reads ceil(hw/8)
             raise ValueError(
                 f"contour_map too short: {contour_packed.size} bytes for a "
                 f"{self.H}x{self.W} grid"
@@ -343,20 +354,7 @@ class HostDecoder:
         if self.cfg.basic_compressor == "rans":
             from rpcc_tpu.codec import rans_codec
 
-            delta_magics = (
-                rans_codec.MAGIC_DELTA, rans_codec.MAGIC_CTX, rans_codec.MAGIC_BZD,
-            )
-            # Single-frame CLI blobs may pick plain bz2 for small residual
-            # fields (rans_codec.compress candidates) — batch-decode only
-            # genuine delta containers; the rest dispatch on their magic.
-            if all(p["residual_quantized"][0] in delta_magics for p in packed):
-                resid = rans_codec.decompress_delta_batch(
-                    [p["residual_quantized"] for p in packed]
-                )
-            if all(p["contour_map"][0] == rans_codec.MAGIC_BITS for p in packed):
-                contour = rans_codec.decompress_contour_batch(
-                    [p["contour_map"] for p in packed]
-                )
+            resid, contour = rans_codec.batch_decode_big_fields(packed)
         out = []
         for i, p in enumerate(packed):
             fields = {}

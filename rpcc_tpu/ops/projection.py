@@ -530,7 +530,7 @@ def project_points_host_m8(points: np.ndarray, lidar: LidarConfig, step_over16: 
         epd = np.empty(hw, np.uint16)
         eval_ = np.empty(hw, np.uint16)
         n_nz = np.zeros(1, np.int64)
-        lib.project_bin_raster_m8.restype = ct.c_int64
+        # restype/argtypes are registered once in lz4block._load
         n_exc = lib.project_bin_raster_m8(
             pts.ctypes.data_as(ct.c_void_p),
             ct.c_int64(pts.shape[0]),

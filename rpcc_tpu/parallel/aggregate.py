@@ -16,9 +16,11 @@ import numpy as np
 
 
 def make_stats_aggregator(mesh):
-    """-> jitted ``agg(n_points (B,), bits (B,)) -> (3,) i64``:
+    """-> jitted ``agg(n_points (B,), bits (B,)) -> (3,) i32``:
     [global frames, global points, global bits], summed over the 'data'
-    axis with one psum (inputs batch-sharded over the mesh)."""
+    axis with one psum (inputs batch-sharded over the mesh).  i32 lanes
+    bound ONE call at ~2^31 points/bits — aggregate per batch, not over
+    accumulated totals."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -635,20 +635,7 @@ class BatchEngine:
         if self.cfg.basic_compressor == "rans":
             from rpcc_tpu.codec import rans_codec
 
-            delta_magics = (
-                rans_codec.MAGIC_DELTA, rans_codec.MAGIC_CTX, rans_codec.MAGIC_BZD,
-            )
-            # Batch-decode only genuine delta containers: single-frame CLI
-            # blobs may pick plain bz2 for small residual fields; those
-            # dispatch on their magic through the generic decompress below.
-            if all(p["residual_quantized"][0] in delta_magics for p in packed):
-                resid_bytes = rans_codec.decompress_delta_batch(
-                    [p["residual_quantized"] for p in packed]
-                )
-            if all(p["contour_map"][0] == rans_codec.MAGIC_BITS for p in packed):
-                contour_bytes = rans_codec.decompress_contour_batch(
-                    [p["contour_map"] for p in packed]
-                )
+            resid_bytes, contour_bytes = rans_codec.batch_decode_big_fields(packed)
 
         def one(i: int):
             skip = {"residual_quantized"} if resid_bytes is not None else set()

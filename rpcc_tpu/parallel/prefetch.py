@@ -47,25 +47,47 @@ def prefetch_loaded_batches(
         return
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     pool = futures.ThreadPoolExecutor(max(1, workers))
+    abandoned = threading.Event()  # consumer gone: stop loading, drop batches
+
+    def _put(item) -> bool:
+        """put that gives up when the consumer abandoned the generator —
+        otherwise the reader would block forever on the bounded queue,
+        pinning up to ``depth`` loaded batches (~125 MB each at KITTI
+        batch-64) and its pool for the process lifetime."""
+        while not abandoned.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def reader() -> None:
         try:
             for start in range(0, n, batch_size):
+                if abandoned.is_set():
+                    return
                 stop = min(start + batch_size, n)
                 clouds = list(pool.map(load_fn, range(start, stop)))
-                q.put((clouds, range(seed_base + start, seed_base + stop)))
-            q.put(_SENTINEL)
+                if not _put((clouds, range(seed_base + start, seed_base + stop))):
+                    return
+            _put(_SENTINEL)
         except BaseException as e:  # surface in the consumer, not the thread
-            q.put(e)
+            _put(e)
         finally:
             pool.shutdown(wait=False)
 
     t = threading.Thread(target=reader, daemon=True, name="datalist-prefetch")
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # Runs on exhaustion, on a consumer-side exception, and on early
+        # generator close (GeneratorExit) — unblocks and retires the reader.
+        abandoned.set()

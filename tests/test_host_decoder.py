@@ -93,3 +93,54 @@ def test_decode_blobs_points_zero_drop():
     assert pts.shape == (int(keep.sum()), 4)
     assert np.allclose(pts[:, :3], full[keep], atol=0)
     assert (pts[:, 3] == 0).all()
+
+
+def test_out_of_range_ids_and_salience_match_native():
+    """Seg ids >= M (decoder configured with a smaller cluster_num than the
+    encoder) decode to r = 0 and consume no stream slot; salience levels >=
+    n_levels fall back to the uniform step — identically on the native
+    kernel and the numpy fallback (the .rpcc format is not self-describing,
+    so mismatched-config input is exactly where the backends must agree)."""
+    cfg = CodecConfig(cluster_num=16)
+    hd = HostDecoder(SMALL, cfg)
+    H, W, hw = hd.H, hd.W, hd.hw
+    M = 4
+    models = np.zeros((M, 4), np.float32)
+    models[0, 3] = 5.0   # ground: point model, depth 5
+    models[2, 3] = 9.0   # cluster 2: point model, depth 9
+    models[3, 3] = 2.0
+    # runs: [id 2] x 10, [id 99 >= M] x 10, [id 0] x 12, [id 1] rest
+    bits = np.zeros(hw, np.uint8)
+    bits[[0, 10, 20, 32]] = 1
+    contour = np.packbits(bits)
+    seq = np.asarray([2, 99, 0, 1], np.uint16)
+    # stream covers only the id-0 and id-2 pixels (id-major order: 0 first)
+    stream = np.arange(22, dtype=np.int16)
+
+    ri_native = hd.reconstruct(contour, seq, stream, models)
+    ri_np = _decode_frame_np(
+        contour, seq, stream, np.ascontiguousarray(models, np.float32),
+        None, None, cfg.step, hd._tm, H, W,
+    )
+    assert np.array_equal(ri_native, ri_np)
+    flat = ri_native.reshape(-1)
+    assert (flat[10:20] == 0).all()          # id 99: out of range -> 0
+    # id 0 pixels got the FIRST 12 stream slots (id 99 consumed none)
+    assert np.allclose(flat[20:32], 5.0 + np.arange(12) * cfg.step)
+    assert np.allclose(flat[:10], 9.0 + np.arange(12, 22) * cfg.step)
+
+    # out-of-range salience level -> uniform step on both backends
+    cfg_nu = CodecConfig(cluster_num=16, compress_framework="non-uniform")
+    hd_nu = HostDecoder(SMALL, cfg_nu)
+    sal = np.zeros(M, np.uint8)
+    sal[2] = 200  # >= n_levels
+    ri_native = hd_nu.reconstruct(contour, seq, stream, models, salience=sal)
+    ri_np = _decode_frame_np(
+        contour, seq, stream, np.ascontiguousarray(models, np.float32),
+        sal, np.asarray(cfg_nu.level_acc, np.float32), cfg_nu.step,
+        hd_nu._tm, H, W,
+    )
+    assert np.array_equal(ri_native, ri_np)
+    assert np.allclose(
+        ri_native.reshape(-1)[:10], 9.0 + np.arange(12, 22) * cfg_nu.step
+    )

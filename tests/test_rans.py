@@ -227,3 +227,35 @@ def test_mixed_lane_batch_decodes():
     assert out[0] == tiny.tobytes()
     assert out[1] == big.tobytes()
     assert out[2] == tiny.tobytes()
+
+
+def test_corrupt_escape_list_raises():
+    """A container whose decoded ESCAPE occurrences mismatch its escape
+    list (corrupt/truncated input) must raise, not return garbage — on BOTH
+    the fused native finalize and the numpy tail."""
+    import struct
+
+    import pytest
+
+    from rpcc_tpu.codec import rans_codec as rc
+
+    rng = np.random.default_rng(5)
+    # mostly-small deltas with a sprinkle of table-range overshoots: real
+    # ESCAPE symbols but well under the native 8192 escape capacity; > 32768
+    # symbols keeps it out of the bzd adaptive pick ('C' container for sure)
+    d = rng.integers(-40, 40, 40000)
+    d[rng.random(40000) < 0.01] = 5000
+    data = np.cumsum(d).astype(np.int32)
+    blob = rc.compress_delta_batch([data])[0]
+    assert blob[0] == rc.MAGIC_CTX
+    n_esc = struct.unpack_from("<I", blob, 12)[0]
+    assert n_esc > 0, "fixture must exercise escapes"
+    # drop the last escape value and decrement the count: the stream still
+    # decodes n_esc ESCAPE symbols but the list only carries n_esc - 1
+    buf = bytearray(blob)
+    struct.pack_into("<I", buf, 12, n_esc - 1)
+    corrupt = bytes(buf[: 16 + 4 * (n_esc - 1)]) + bytes(buf[16 + 4 * n_esc :])
+    with pytest.raises(ValueError, match="(?i)escape"):
+        rc.decompress_delta_batch([corrupt])
+    # the untampered container still roundtrips
+    assert rc.decompress_delta_batch([blob])[0] == data.tobytes()
