@@ -63,3 +63,27 @@ def test_prefetches_ahead_of_consumer():
     release.set()
     rest = list(gen)
     assert len(rest) == 3
+
+
+def test_abandoned_generator_retires_reader():
+    """Closing the generator early (consumer exception / break) must unblock
+    and retire the reader thread instead of leaving it parked forever on the
+    bounded queue with loaded batches pinned."""
+    import threading
+    import time
+
+    def load(i):
+        return np.zeros((1, 3), np.float32)
+
+    gen = prefetch_loaded_batches([str(i) for i in range(64)], 2, load, depth=2)
+    next(gen)  # reader is now live and blocking on the full queue
+    gen.close()  # GeneratorExit -> finally sets the abandoned event
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        readers = [
+            t for t in threading.enumerate() if t.name == "datalist-prefetch"
+        ]
+        if not any(t.is_alive() for t in readers):
+            return
+        time.sleep(0.05)
+    raise AssertionError("prefetch reader thread still alive after close()")
