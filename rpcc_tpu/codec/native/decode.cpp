@@ -83,9 +83,14 @@ int64_t host_decode_frame(
         pred = (denom == 0.0f) ? 0.0f : -d / denom;
       }
       float st = step;
-      if (salience != nullptr && level_acc != nullptr) {
+      if (salience != nullptr && level_acc != nullptr && n_levels > 0) {
         int32_t lv = (int32_t)salience[id];
-        if (lv >= 0 && lv < n_levels) st = level_acc[lv];
+        // Out-of-range levels clamp to the last level — same rule as the
+        // device decoder's clamped gather (models/decoder.py step[salience])
+        // and the numpy twin, so corrupt salience decodes identically on
+        // every backend.
+        if (lv >= n_levels) lv = n_levels - 1;
+        st = level_acc[lv];
       }
       r = pred + q * st;
     }

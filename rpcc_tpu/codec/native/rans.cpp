@@ -31,10 +31,17 @@ inline int zigzag_ctx(int32_t prev) {
 }
 
 // Bit-exact twin of rans_native.py::normalize_freqs (f32 arithmetic order
-// preserved; np.argmax keeps the FIRST maximum).
+// preserved; np.argmax keeps the FIRST maximum), including its repair pass
+// for pathological near-uniform histograms whose top symbol cannot absorb
+// the negative correction (repair re-floors with 1 reserved per present
+// symbol, so its correction is >= 0 and the table stays valid).
 inline void normalize_freqs_row(const int64_t* cnt, int A, int32_t* f) {
     int64_t total64 = 0;
-    for (int a = 0; a < A; a++) total64 += cnt[a];
+    int32_t a_pos = 0;
+    for (int a = 0; a < A; a++) {
+        total64 += cnt[a];
+        if (cnt[a] > 0) a_pos++;
+    }
     if (total64 < 1) total64 = 1;
     float scale = (float)M / (float)total64;
     int32_t sum = 0;
@@ -46,6 +53,22 @@ inline void normalize_freqs_row(const int64_t* cnt, int A, int32_t* f) {
     }
     int32_t delta = (int32_t)M - sum;
     int top = 0;
+    for (int a = 1; a < A; a++)
+        if (f[a] > f[top]) top = a;
+    if (f[top] + delta >= 1) {
+        f[top] += delta;
+        return;
+    }
+    float scale2 = (float)((int32_t)M - a_pos) / (float)total64;
+    sum = 0;
+    for (int a = 0; a < A; a++) {
+        int32_t v = (int32_t)floorf((float)cnt[a] * scale2);
+        if (cnt[a] > 0) v += 1;
+        f[a] = v;
+        sum += v;
+    }
+    delta = (int32_t)M - sum;  // >= 0: sum(floor) <= M - a_pos
+    top = 0;
     for (int a = 1; a < A; a++)
         if (f[a] > f[top]) top = a;
     f[top] += delta;

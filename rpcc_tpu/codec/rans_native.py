@@ -72,16 +72,29 @@ def available() -> bool:
 
 def normalize_freqs(counts: np.ndarray) -> np.ndarray:
     """Vectorized bit-exact port of ops/rans.py::normalize_freqs over the
-    last axis (f32 arithmetic order preserved)."""
+    last axis (f32 arithmetic order preserved), including its repair pass
+    for pathological near-uniform histograms whose top symbol cannot absorb
+    the negative correction."""
     counts = counts.astype(np.int32)
+    present = counts > 0
     total = np.maximum(counts.sum(-1, keepdims=True), 1)
     f = np.floor(
         counts.astype(np.float32) * (np.float32(M) / total.astype(np.float32))
     ).astype(np.int32)
-    f = np.where((counts > 0) & (f == 0), 1, f)
+    f = np.where(present & (f == 0), 1, f)
     delta = (M - f.sum(-1, keepdims=True)).astype(np.int32)
     top = np.argmax(f, -1)[..., None]
+    ok = np.take_along_axis(f, top, -1) + delta >= 1
     np.put_along_axis(f, top, np.take_along_axis(f, top, -1) + delta, -1)
+    if not ok.all():
+        a_pos = present.sum(-1, keepdims=True).astype(np.int32)
+        scale2 = (M - a_pos).astype(np.float32) / total.astype(np.float32)
+        f2 = np.floor(counts.astype(np.float32) * scale2).astype(np.int32)
+        f2 = f2 + present.astype(np.int32)
+        delta2 = (M - f2.sum(-1, keepdims=True)).astype(np.int32)
+        top2 = np.argmax(f2, -1)[..., None]
+        np.put_along_axis(f2, top2, np.take_along_axis(f2, top2, -1) + delta2, -1)
+        f = np.where(ok, f, f2)
     return f
 
 

@@ -176,7 +176,12 @@ def build_decode_fn(
             # the reduced decode downlink rides the same u16 snap grid
             step_max = step if cfg.uniform else jnp.max(step)
             delta = jnp.maximum(step_max / 16.0, jnp.max(ri) / 65535.0)
-            riq = jnp.minimum(jnp.rint(ri / delta), 65535.0).astype(jnp.uint16)
+            # clip BOTH ends: a live pixel with true depth < step/2 can
+            # reconstruct to a slightly negative ri (|err| <= step/2), and
+            # an unclamped f32->u16 convert of a negative is implementation-
+            # defined — it wrapped to ~65529, a near-max-range spike point
+            # on the host after rescaling.
+            riq = jnp.clip(jnp.rint(ri / delta), 0.0, 65535.0).astype(jnp.uint16)
             if not (d8_down or m8_down):
                 return DecoderOutput(ri, seg, riq, delta.astype(jnp.float32))
             # Row-delta i8 wire code of the q grid (the encode uplink's
@@ -186,17 +191,17 @@ def build_decode_fn(
             # one cumsum + two sorted scatters (no sorts, no gathers — both
             # serialize on TPU); positions are visited in order so the
             # exception list comes out position-sorted for free.
+            from rpcc_tpu.ops.wire import build_delta_exception_wire
+
             qf = riq.astype(jnp.int32).reshape(hw)
             if m8_down:
                 # Masked-compact wire code (the encode uplink's m8 format,
                 # project_points_host_m8) built in-graph: occupancy bit
-                # plane + i8 diffs over consecutive nonzero pixels.
-                # Compaction is cumsum + sorted scatters (rank-slot), no
-                # gathers; resets (first live pixel of each row) and
-                # |diff| > 127 become (pos-delta u16, value u16)
-                # exceptions in the compact domain, position-sorted for
-                # free.  Row resets bound exception pos-gaps by W so the
-                # u16 pos-deltas never overflow.
+                # plane + i8 diffs over consecutive nonzero pixels; resets
+                # (first live pixel of each row) and |diff| > 127 become
+                # exceptions in the compact domain (ops/wire.py).  Row
+                # resets bound exception pos-gaps by W so the u16
+                # pos-deltas never overflow.
                 live = qf != 0
                 from rpcc_tpu.ops.contour import pack_bits_msb
 
@@ -212,51 +217,19 @@ def build_decode_fn(
                 creset = jnp.zeros((nz_cap,), jnp.bool_).at[slot].set(
                     reset2.reshape(hw), mode="drop"
                 )
-                cdiff = cq - jnp.concatenate(
-                    [jnp.zeros((1,), jnp.int32), cq[:-1]]
+                d8c, pd, val, n_exc = build_delta_exception_wire(
+                    cq, creset, m8_exc_cap,
+                    live_mask=jnp.arange(nz_cap, dtype=jnp.int32) < n_nz,
                 )
-                idx = jnp.arange(nz_cap, dtype=jnp.int32)
-                cexc = (creset | (cdiff < -128) | (cdiff > 127)) & (
-                    idx < n_nz
-                )
-                d8c = jnp.where(cexc, 0, cdiff).astype(jnp.int8)
-                n_exc = cexc.sum().astype(jnp.int32)
-                eslot = jnp.where(cexc, jnp.cumsum(cexc) - 1, m8_exc_cap)
-                pos = jnp.full((m8_exc_cap,), -1, jnp.int32).at[eslot].set(
-                    idx, mode="drop"
-                )
-                val = jnp.zeros((m8_exc_cap,), jnp.uint16).at[eslot].set(
-                    cq.astype(jnp.uint16), mode="drop"
-                )
-                pd = (
-                    pos
-                    - jnp.concatenate(
-                        [jnp.full((1,), -1, jnp.int32), pos[:-1]]
-                    )
-                ).astype(jnp.uint16)
                 return DecoderOutput(
                     ri, seg, riq, delta.astype(jnp.float32),
                     d8c, pd, val, n_exc, maskp, n_nz,
                 )
-            diff = qf - jnp.concatenate([jnp.zeros((1,), jnp.int32), qf[:-1]])
             col0 = (jnp.arange(hw) % W) == 0
-            exc = col0 | (diff < -128) | (diff > 127)
-            d8 = jnp.where(exc, 0, diff).astype(jnp.int8).reshape(H, W)
-            n_exc = exc.sum().astype(jnp.int32)
-            slot = jnp.where(exc, jnp.cumsum(exc) - 1, d8_cap)
-            pos = jnp.full((d8_cap,), -1, jnp.int32).at[slot].set(
-                jnp.arange(hw, dtype=jnp.int32), mode="drop"
-            )
-            val = jnp.zeros((d8_cap,), jnp.uint16).at[slot].set(
-                riq.reshape(hw), mode="drop"
-            )
-            # pd[e] = pos[e] - pos[e-1] with pos[-1] = -1 (uplink
-            # convention); slots past n_exc hold junk the host never reads.
-            pd = (
-                pos - jnp.concatenate([jnp.full((1,), -1, jnp.int32), pos[:-1]])
-            ).astype(jnp.uint16)
+            d8, pd, val, n_exc = build_delta_exception_wire(qf, col0, d8_cap)
             return DecoderOutput(
-                ri, seg, riq, delta.astype(jnp.float32), d8, pd, val, n_exc
+                ri, seg, riq, delta.astype(jnp.float32),
+                d8.reshape(H, W), pd, val, n_exc,
             )
         return DecoderOutput(ri, seg)
 

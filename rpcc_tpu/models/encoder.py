@@ -177,20 +177,18 @@ def build_encode_fn(
         k_seg, k_model = jax.random.split(key)
 
         if ri_m8:
-            # Masked-compact inversion: the d8-style two-cumsum + scatter
-            # runs over the compact nonzero stream (length M bucket), then
-            # one monotonic gather expands it through the occupancy mask.
+            # Masked-compact inversion: the shared cumsum + scatter
+            # inversion (ops/wire.py) runs over the compact nonzero stream
+            # (length M bucket), then one monotonic gather expands it
+            # through the occupancy mask.
+            from rpcc_tpu.ops.wire import invert_delta_exceptions
+
             M = d8c.shape[0]
             live = jnp.arange(M) < n_nz
-            C = jnp.cumsum(jnp.where(live, d8c.astype(jnp.int32), 0))
-            m = exc_pd.shape[0]
-            live_e = jnp.arange(m) < n_exc
-            pos = jnp.cumsum(exc_pd.astype(jnp.int32)) - 1
-            pos = jnp.where(live_e, pos, M)
-            Cp = jnp.concatenate([C, jnp.zeros((1,), jnp.int32)])
-            K = jnp.where(live_e, exc_val.astype(jnp.int32) - Cp[pos], 0)
-            Kd = jnp.concatenate([K[:1], K[1:] - K[:-1]])
-            nzq = C + jnp.cumsum(jnp.zeros((M,), jnp.int32).at[pos].add(Kd, mode="drop"))
+            nzq = invert_delta_exceptions(
+                jnp.where(live, d8c.astype(jnp.int32), 0),
+                exc_pd, exc_val, n_exc,
+            )
             # Unpack the MSB-first bit plane (np.packbits convention) and
             # rank-gather the compact values back to grid positions.
             bits = (
@@ -200,22 +198,14 @@ def build_encode_fn(
             qv = jnp.where(bits == 1, nzq[jnp.clip(rank, 0, M - 1)], 0)
             ri = (qv.astype(jnp.float32) * delta).reshape(H, W)
         elif ri_d8:
-            # Invert the host's row-delta i8 code exactly (integer math):
-            # C = cumsum(d8); at each exception e the true grid value is
-            # exc_val[e], so a correction K_e = exc_val[e] - C[pos_e] holds
-            # from e to the next exception — scatter the K telescoping
-            # diffs and cumsum (col-0 exceptions reset every row, so the
-            # flat cumsum never leaks across rows).
-            d32 = points.astype(jnp.int32).reshape(hw)
-            C = jnp.cumsum(d32)
-            m = exc_pd.shape[0]
-            live_e = jnp.arange(m) < n_exc
-            pos = jnp.cumsum(exc_pd.astype(jnp.int32)) - 1
-            pos = jnp.where(live_e, pos, hw)
-            Cp = jnp.concatenate([C, jnp.zeros((1,), jnp.int32)])
-            K = jnp.where(live_e, exc_val.astype(jnp.int32) - Cp[pos], 0)
-            Kd = jnp.concatenate([K[:1], K[1:] - K[:-1]])
-            qv = C + jnp.cumsum(jnp.zeros((hw,), jnp.int32).at[pos].add(Kd, mode="drop"))
+            # Invert the host's row-delta i8 code exactly (ops/wire.py;
+            # col-0 exceptions reset every row, so the flat cumsum never
+            # leaks across rows).
+            from rpcc_tpu.ops.wire import invert_delta_exceptions
+
+            qv = invert_delta_exceptions(
+                points.astype(jnp.int32).reshape(hw), exc_pd, exc_val, n_exc
+            )
             ri = (qv.astype(jnp.float32) * delta).reshape(H, W)
         elif ri_u16:
             ri = points.astype(jnp.float32) * delta  # (H, W), host-snapped

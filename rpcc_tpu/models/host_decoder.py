@@ -42,13 +42,17 @@ def _decode_frame_np(
     hw = H * W
     M = models.shape[0]
     bits = np.unpackbits(contour_packed)[:hw]
-    run_idx = np.cumsum(bits) - 1  # run index per pixel (-1 never occurs: bit 0 set)
+    run_idx = np.cumsum(bits) - 1
     seq = np.asarray(seq, np.int64)
-    seg = (
-        seq[np.minimum(run_idx, max(seq.shape[0] - 1, 0))].astype(np.int32)
-        if seq.shape[0]
-        else np.zeros(hw, np.int32)
-    )
+    if seq.shape[0]:
+        seg = seq[np.minimum(run_idx, seq.shape[0] - 1)].astype(np.int32)
+        # A well-formed contour sets bit 0, but a corrupt one may not:
+        # run_idx = -1 would wrap to seq[-1] here while the native kernel
+        # keeps id 0 (cur starts at 0) until the first set bit — pin the
+        # native rule so both backends decode corrupt planes identically.
+        seg = np.where(run_idx < 0, np.int32(0), seg)
+    else:
+        seg = np.zeros(hw, np.int32)
     # stream slot per pixel: stable sort by (remapped id, pixel) — id 1 last
     key = np.where(seg == 1, M, seg)
     perm = np.argsort(key, kind="stable")
@@ -64,14 +68,12 @@ def _decode_frame_np(
         plane_pred = np.where(denom == 0.0, np.float32(0.0), -d / np.where(denom == 0.0, 1.0, denom))
     pred = np.where(a + b + c == 0.0, d, plane_pred).astype(np.float32)
     if salience is not None and level_acc is not None:
-        # Out-of-range salience levels fall back to the uniform step, same
-        # as the native kernel (decode.cpp: `if (lv >= 0 && lv < n_levels)`).
+        # Out-of-range salience levels clamp to the LAST level — the same
+        # rule as the device decoder's clamped gather (step[salience]) and
+        # the native kernel, so corrupt salience decodes identically on
+        # every backend.
         lv = salience[np.clip(seg, 0, M - 1)].astype(np.int64)
-        st = np.where(
-            lv < level_acc.shape[0],
-            level_acc[np.minimum(lv, level_acc.shape[0] - 1)],
-            np.float32(step),
-        )
+        st = level_acc[np.minimum(lv, level_acc.shape[0] - 1)]
     else:
         st = np.float32(step)
     ri = pred + q_pix * st
@@ -247,7 +249,11 @@ class HostDecoder:
         )
 
     # ------------------------------------------------------------- reconstruct
-    def decode_fields(self, fields: Dict[str, bytes]) -> np.ndarray:
+    @staticmethod
+    def _field_arrays(fields: Dict[str, bytes]):
+        """Entropy-decoded field bytes -> (contour, seq, stream, models,
+        salience|None) array views — the one place the field dtypes and the
+        salience presence rule live."""
         contour = np.frombuffer(fields["contour_map"], np.uint8)
         seq = np.frombuffer(fields["idx_sequence"], np.uint16)
         stream = np.frombuffer(fields["residual_quantized"], np.int16)
@@ -257,7 +263,10 @@ class HostDecoder:
             if "salience_level" in fields
             else None
         )
-        return self.reconstruct(contour, seq, stream, models, sal)
+        return contour, seq, stream, models, sal
+
+    def decode_fields(self, fields: Dict[str, bytes]) -> np.ndarray:
+        return self.reconstruct(*self._field_arrays(fields))
 
     def reconstruct(
         self,
@@ -378,15 +387,6 @@ class HostDecoder:
         out = []
         buf = np.empty((self.hw, 4), np.float32)
         for fields in self.entropy_decode_blobs(blobs):
-            contour = np.frombuffer(fields["contour_map"], np.uint8)
-            seq = np.frombuffer(fields["idx_sequence"], np.uint16)
-            stream = np.frombuffer(fields["residual_quantized"], np.int16)
-            models = np.frombuffer(fields["plane_param"], np.float32).reshape(-1, 4)
-            sal = (
-                np.frombuffer(fields["salience_level"], np.uint8)
-                if "salience_level" in fields
-                else None
-            )
-            self.reconstruct(contour, seq, stream, models, sal, xyz_out=buf)
+            self.reconstruct(*self._field_arrays(fields), xyz_out=buf)
             out.append(buf[: self.last_point_count].copy())
         return out

@@ -284,6 +284,51 @@ def raster_range_image_host(depth: np.ndarray, flat_idx: np.ndarray, H: int, W: 
     return ri.reshape(H, W)
 
 
+def _native_proj_head(points: np.ndarray, lidar: LidarConfig):
+    """Validate + marshal the shared head of every native projection call:
+    ``-> (pts, va, head)`` where ``head`` is the common leading argument
+    tuple ``(pts_ptr, n, stride, H, W, even, hfov, vmin, vres, va_ptr,
+    n_chan)``.  ``pts``/``va`` are returned so callers keep the backing
+    buffers alive across the call.  c_float wrappers are required: untyped
+    ctypes calls promote python floats to double and corrupt the ABI
+    (argtypes are also registered in lz4block._load for the same reason).
+    The f64->f32 vres cast is part of the binning-parity contract with the
+    numpy fallback — change it in exactly one place (here)."""
+    import ctypes as ct
+
+    H, W = lidar.height, lidar.width
+    pts = np.asarray(points, np.float32)
+    if pts.ndim != 2 or pts.shape[1] < 3:
+        raise ValueError(f"points must be (N, >=3), got {pts.shape}")
+    if pts.strides[1] != 4:
+        pts = np.ascontiguousarray(pts[:, :3], np.float32)
+    stride = pts.strides[0] // 4
+    if lidar.even_dist:
+        vres = np.float32((lidar.vertical_max - lidar.vertical_min) / (H - 1))
+        va, va_ptr, n_chan = None, None, 0
+    else:
+        vres = np.float32(0.0)
+        va = np.radians(
+            np.asarray(lidar.vertical_angles_deg, np.float64)
+        ).astype(np.float32)
+        va = np.ascontiguousarray(va)
+        va_ptr, n_chan = va.ctypes.data_as(ct.c_void_p), int(va.shape[0])
+    head = (
+        pts.ctypes.data_as(ct.c_void_p),
+        ct.c_int64(pts.shape[0]),
+        ct.c_int64(stride),
+        ct.c_int32(H),
+        ct.c_int32(W),
+        ct.c_int32(1 if lidar.even_dist else 0),
+        ct.c_float(np.float32(lidar.horizontal_fov)),
+        ct.c_float(np.float32(lidar.vertical_min)),
+        ct.c_float(vres),
+        va_ptr,
+        ct.c_int32(n_chan),
+    )
+    return pts, va, head
+
+
 def project_points_host(points: np.ndarray, lidar: LidarConfig) -> np.ndarray:
     """Host twin of ``project_points``: (N, >=3) cloud -> (H, W) range image.
 
@@ -297,37 +342,9 @@ def project_points_host(points: np.ndarray, lidar: LidarConfig) -> np.ndarray:
     if lib is not None and hasattr(lib, "project_bin_raster"):
         import ctypes as ct
 
-        pts = np.asarray(points, np.float32)
-        if pts.ndim != 2 or pts.shape[1] < 3:
-            raise ValueError(f"points must be (N, >=3), got {pts.shape}")
-        if pts.strides[1] != 4:
-            pts = np.ascontiguousarray(pts[:, :3], np.float32)
-        stride = pts.strides[0] // 4
+        pts, _va, head = _native_proj_head(points, lidar)
         ri = np.zeros(H * W, np.float32)
-        if lidar.even_dist:
-            vres = np.float32((lidar.vertical_max - lidar.vertical_min) / (H - 1))
-            va_ptr, n_chan = None, 0
-        else:
-            vres = np.float32(0.0)
-            va = np.radians(
-                np.asarray(lidar.vertical_angles_deg, np.float64)
-            ).astype(np.float32)
-            va = np.ascontiguousarray(va)
-            va_ptr, n_chan = va.ctypes.data_as(ct.c_void_p), int(va.shape[0])
-        lib.project_bin_raster(
-            pts.ctypes.data_as(ct.c_void_p),
-            ct.c_int64(pts.shape[0]),
-            ct.c_int64(stride),
-            ct.c_int32(H),
-            ct.c_int32(W),
-            ct.c_int32(1 if lidar.even_dist else 0),
-            ct.c_float(np.float32(lidar.horizontal_fov)),
-            ct.c_float(np.float32(lidar.vertical_min)),
-            ct.c_float(vres),
-            va_ptr,
-            ct.c_int32(n_chan),
-            ri.ctypes.data_as(ct.c_void_p),
-        )
+        lib.project_bin_raster(*head, ri.ctypes.data_as(ct.c_void_p))
         return ri.reshape(H, W)
 
     depth, flat_idx = bin_points_host(points, lidar)
@@ -350,37 +367,12 @@ def project_points_host_u16(points: np.ndarray, lidar: LidarConfig, step_over16:
     if lib is not None and hasattr(lib, "project_bin_raster_u16"):
         import ctypes as ct
 
-        pts = np.asarray(points, np.float32)
-        if pts.ndim != 2 or pts.shape[1] < 3:
-            raise ValueError(f"points must be (N, >=3), got {pts.shape}")
-        if pts.strides[1] != 4:
-            pts = np.ascontiguousarray(pts[:, :3], np.float32)
-        stride = pts.strides[0] // 4
-        if lidar.even_dist:
-            vres = np.float32((lidar.vertical_max - lidar.vertical_min) / (H - 1))
-            va_ptr, n_chan = None, 0
-        else:
-            vres = np.float32(0.0)
-            va = np.radians(
-                np.asarray(lidar.vertical_angles_deg, np.float64)
-            ).astype(np.float32)
-            va = np.ascontiguousarray(va)
-            va_ptr, n_chan = va.ctypes.data_as(ct.c_void_p), int(va.shape[0])
+        pts, _va, head = _native_proj_head(points, lidar)
         scratch = np.zeros(H * W, np.float32)
         out = np.empty(H * W, np.uint16)
         delta = np.zeros(1, np.float32)
         lib.project_bin_raster_u16(
-            pts.ctypes.data_as(ct.c_void_p),
-            ct.c_int64(pts.shape[0]),
-            ct.c_int64(stride),
-            ct.c_int32(H),
-            ct.c_int32(W),
-            ct.c_int32(1 if lidar.even_dist else 0),
-            ct.c_float(np.float32(lidar.horizontal_fov)),
-            ct.c_float(np.float32(lidar.vertical_min)),
-            ct.c_float(vres),
-            va_ptr,
-            ct.c_int32(n_chan),
+            *head,
             ct.c_float(floor),
             scratch.ctypes.data_as(ct.c_void_p),
             out.ctypes.data_as(ct.c_void_p),
@@ -418,22 +410,7 @@ def project_points_host_d8(points: np.ndarray, lidar: LidarConfig, step_over16: 
     if lib is not None and hasattr(lib, "project_bin_raster_d8"):
         import ctypes as ct
 
-        pts = np.asarray(points, np.float32)
-        if pts.ndim != 2 or pts.shape[1] < 3:
-            raise ValueError(f"points must be (N, >=3), got {pts.shape}")
-        if pts.strides[1] != 4:
-            pts = np.ascontiguousarray(pts[:, :3], np.float32)
-        stride = pts.strides[0] // 4
-        if lidar.even_dist:
-            vres = np.float32((lidar.vertical_max - lidar.vertical_min) / (H - 1))
-            va_ptr, n_chan = None, 0
-        else:
-            vres = np.float32(0.0)
-            va = np.radians(
-                np.asarray(lidar.vertical_angles_deg, np.float64)
-            ).astype(np.float32)
-            va = np.ascontiguousarray(va)
-            va_ptr, n_chan = va.ctypes.data_as(ct.c_void_p), int(va.shape[0])
+        pts, _va, head = _native_proj_head(points, lidar)
         scratch = np.zeros(hw, np.float32)
         q_scratch = np.empty(hw, np.uint16)
         delta = np.zeros(1, np.float32)
@@ -441,17 +418,7 @@ def project_points_host_d8(points: np.ndarray, lidar: LidarConfig, step_over16: 
         exc_pd = np.empty(hw, np.uint16)
         exc_val = np.empty(hw, np.uint16)
         n_exc = lib.project_bin_raster_d8(
-            pts.ctypes.data_as(ct.c_void_p),
-            ct.c_int64(pts.shape[0]),
-            ct.c_int64(stride),
-            ct.c_int32(H),
-            ct.c_int32(W),
-            ct.c_int32(1 if lidar.even_dist else 0),
-            ct.c_float(np.float32(lidar.horizontal_fov)),
-            ct.c_float(np.float32(lidar.vertical_min)),
-            ct.c_float(vres),
-            va_ptr,
-            ct.c_int32(n_chan),
+            *head,
             ct.c_float(floor),
             scratch.ctypes.data_as(ct.c_void_p),
             q_scratch.ctypes.data_as(ct.c_void_p),
@@ -506,22 +473,7 @@ def project_points_host_m8(points: np.ndarray, lidar: LidarConfig, step_over16: 
     if lib is not None and hasattr(lib, "project_bin_raster_m8") and hw % 8 == 0:
         import ctypes as ct
 
-        pts = np.asarray(points, np.float32)
-        if pts.ndim != 2 or pts.shape[1] < 3:
-            raise ValueError(f"points must be (N, >=3), got {pts.shape}")
-        if pts.strides[1] != 4:
-            pts = np.ascontiguousarray(pts[:, :3], np.float32)
-        stride = pts.strides[0] // 4
-        if lidar.even_dist:
-            vres = np.float32((lidar.vertical_max - lidar.vertical_min) / (H - 1))
-            va_ptr, n_chan = None, 0
-        else:
-            vres = np.float32(0.0)
-            va = np.radians(
-                np.asarray(lidar.vertical_angles_deg, np.float64)
-            ).astype(np.float32)
-            va = np.ascontiguousarray(va)
-            va_ptr, n_chan = va.ctypes.data_as(ct.c_void_p), int(va.shape[0])
+        pts, _va, head = _native_proj_head(points, lidar)
         scratch = np.zeros(hw, np.float32)
         q_scratch = np.empty(hw, np.uint16)
         delta = np.zeros(1, np.float32)
@@ -530,19 +482,8 @@ def project_points_host_m8(points: np.ndarray, lidar: LidarConfig, step_over16: 
         epd = np.empty(hw, np.uint16)
         eval_ = np.empty(hw, np.uint16)
         n_nz = np.zeros(1, np.int64)
-        # restype/argtypes are registered once in lz4block._load
         n_exc = lib.project_bin_raster_m8(
-            pts.ctypes.data_as(ct.c_void_p),
-            ct.c_int64(pts.shape[0]),
-            ct.c_int64(stride),
-            ct.c_int32(H),
-            ct.c_int32(W),
-            ct.c_int32(1 if lidar.even_dist else 0),
-            ct.c_float(np.float32(lidar.horizontal_fov)),
-            ct.c_float(np.float32(lidar.vertical_min)),
-            ct.c_float(vres),
-            va_ptr,
-            ct.c_int32(n_chan),
+            *head,
             ct.c_float(np.float32(step_over16)),
             scratch.ctypes.data_as(ct.c_void_p),
             q_scratch.ctypes.data_as(ct.c_void_p),

@@ -36,21 +36,33 @@ def normalize_freqs(counts: jnp.ndarray) -> jnp.ndarray:
     """Deterministically normalize histogram ``counts`` to sum exactly M.
 
     Every present symbol keeps freq >= 1; the residual correction lands on
-    the most frequent symbol (guaranteed to absorb it for any realistic
-    skewed distribution; a pathological near-uniform distribution over the
-    full alphabet falls back to capping at 1 minimum per symbol, still summing
-    to M because A << M).
+    the most frequent symbol.  When the bump-to-1 of many rare symbols
+    overdraws the budget so far that the top symbol cannot absorb the
+    (negative) correction — a pathological near-uniform histogram over a
+    large alphabet — a repair pass re-floors with 1 reserved per present
+    symbol (``floor(c * (M - A_pos) / total) + 1``), whose correction is
+    >= 0 by construction, so the table is always valid (present symbols
+    >= 1, sum == M).  The repair is bit-identical across the jax / numpy /
+    C++ implementations.
     """
     counts = counts.astype(jnp.int32)
+    present = counts > 0
     total = jnp.maximum(jnp.sum(counts), 1)
     # f32 is exact here: counts * (M/total) <= M = 2^14 << 2^24 mantissa.
     f = jnp.floor(counts.astype(jnp.float32) * (M / total.astype(jnp.float32)))
     f = f.astype(jnp.int32)
-    f = jnp.where((counts > 0) & (f == 0), 1, f)
+    f = jnp.where(present & (f == 0), 1, f)
     delta = M - jnp.sum(f)
     top = jnp.argmax(f)
-    f = f.at[top].add(delta)
-    return f
+    ok = f[top] + delta >= 1
+    # Repair candidate: reserve 1 per present symbol up front.
+    a_pos = jnp.sum(present.astype(jnp.int32))
+    scale2 = (M - a_pos).astype(jnp.float32) / total.astype(jnp.float32)
+    f2 = jnp.floor(counts.astype(jnp.float32) * scale2).astype(jnp.int32)
+    f2 = f2 + present.astype(jnp.int32)
+    delta2 = M - jnp.sum(f2)  # >= 0: sum(floor) <= M - a_pos
+    top2 = jnp.argmax(f2)
+    return jnp.where(ok, f.at[top].add(delta), f2.at[top2].add(delta2))
 
 
 def cumulative(freqs: jnp.ndarray) -> jnp.ndarray:

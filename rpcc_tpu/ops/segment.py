@@ -20,7 +20,7 @@ tile-pad 3 -> 128 lanes and cost ~42x the HBM bandwidth on TPU.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -86,14 +86,26 @@ class SegmentResult(NamedTuple):
 
 
 def fit_ground_plane_planar(
-    xs: jnp.ndarray, ys: jnp.ndarray, zs: jnp.ndarray, key: jax.Array
+    xs: jnp.ndarray, ys: jnp.ndarray, zs: jnp.ndarray, key: jax.Array,
+    valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Seeded RANSAC ground plane from low-z points (fallback: all points)."""
+    """Seeded RANSAC ground plane from low-z points (fallback: all points).
+
+    ``valid`` masks live pixels when the inputs are a back-projected grid
+    cloud: empty range-image pixels sit at the exact origin there, and the
+    low-candidate fallback (rare: < 800 points below the z cut) would
+    otherwise hand RANSAC tens of thousands of duplicate (0,0,0) points —
+    any origin-grazing hypothesis then outvotes the true ground.  (The
+    primary low-z mask never admits them: z = 0 > -1.5.)"""
     k_sub, k_ransac = jax.random.split(key)
     low = zs < GROUND_Z_CUT
+    if valid is not None:
+        low = low & valid
     n_low = jnp.sum(low.astype(jnp.int32))
-    # Reference: if fewer than 800 candidates, fit on the full cloud (:105-106).
-    mask = jnp.where(n_low < GROUND_FIT_MIN, jnp.ones_like(low), low)
+    # Reference: if fewer than 800 candidates, fit on the full cloud
+    # (:105-106) — the full *live* cloud here.
+    fallback = jnp.ones_like(low) if valid is None else valid
+    mask = jnp.where(n_low < GROUND_FIT_MIN, fallback, low)
     subset, count = compact_random_subset_planar(
         xs, ys, zs, mask, k_sub, GROUND_FIT_CAPACITY
     )
@@ -145,7 +157,9 @@ def segment_range_image_dbscan(
     xs = point_planes[0].reshape(-1)
     ys = point_planes[1].reshape(-1)
     zs = point_planes[2].reshape(-1)
-    ground_model = fit_ground_plane_planar(xs, ys, zs, key)
+    ground_model = fit_ground_plane_planar(
+        xs, ys, zs, key, valid=range_image.reshape(-1) > 0.0
+    )
     g_res = ground_depth_residual(range_image, ground_model, tm_planes)
     nonzero = range_image > 0.0
     active = (jnp.abs(g_res) > 0.5) & nonzero  # :155-156
@@ -171,7 +185,7 @@ def segment_range_image(
     zs = point_planes[2].reshape(-1)
     ri = range_image.reshape(-1)
 
-    ground_model = fit_ground_plane_planar(xs, ys, zs, key)
+    ground_model = fit_ground_plane_planar(xs, ys, zs, key, valid=ri > 0.0)
 
     # Non-ground mask by vertical (point-to-plane) distance (:119-120,137-138).
     vert = point_plane_distance_planar(xs, ys, zs, ground_model)

@@ -165,3 +165,30 @@ def test_d8_reconstruct_native_and_numpy_paths(monkeypatch):
     monkeypatch.setattr(lz4block, "native_lib", lambda: None)
     out_np = d8_reconstruct_batch(d8, pd, val, n_exc, delta)
     assert np.array_equal(out_np, expected)
+
+
+def test_decode_downlink_clamps_negative_reconstruction():
+    """A live pixel with a slightly NEGATIVE reconstructed depth (true depth
+    < step/2 plus quantization error) must clamp to q=0 on the u16 decode
+    downlink — an unclamped f32->u16 convert of a negative wrapped to a
+    near-max-range spike point after host rescaling."""
+    from rpcc_tpu.models.decoder import make_batch_decoder
+    from rpcc_tpu.models.encoder import num_model_rows
+
+    cfg = CodecConfig(cluster_num=16, transfer_precision="u16")
+    hw = SMALL.height * SMALL.width
+    dec_fn = make_batch_decoder(SMALL, cfg)  # raw u16 downlink
+    # one run of cluster id 2 over the whole grid, point model d = 0.01,
+    # every stream value -1 -> ri = 0.01 - step < 0 everywhere
+    contour = np.zeros((1, hw // 8), np.uint8)
+    contour[0, 0] = 0x80
+    seq = np.zeros((1, 4), np.uint16)
+    seq[0, 0] = 2
+    stream = np.full((1, hw), -1, np.int16)
+    nm = num_model_rows(cfg)
+    models = np.zeros((1, nm, 4), np.float32)
+    models[0, 2, 3] = 0.01
+    out = dec_fn(contour, seq, stream, models, np.float32(cfg.step))
+    assert float(np.asarray(out.range_image[0]).max()) < 0  # genuinely negative
+    riq = np.asarray(out.range_u16[0])
+    assert riq.max() == 0 and riq.min() == 0  # clamped, not wrapped to ~65535

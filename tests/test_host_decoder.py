@@ -98,9 +98,10 @@ def test_decode_blobs_points_zero_drop():
 def test_out_of_range_ids_and_salience_match_native():
     """Seg ids >= M (decoder configured with a smaller cluster_num than the
     encoder) decode to r = 0 and consume no stream slot; salience levels >=
-    n_levels fall back to the uniform step — identically on the native
-    kernel and the numpy fallback (the .rpcc format is not self-describing,
-    so mismatched-config input is exactly where the backends must agree)."""
+    n_levels clamp to the LAST level (the device decoder's clamped-gather
+    rule) — identically on the native kernel and the numpy fallback (the
+    .rpcc format is not self-describing, so mismatched-config input is
+    exactly where the backends must agree)."""
     cfg = CodecConfig(cluster_num=16)
     hd = HostDecoder(SMALL, cfg)
     H, W, hw = hd.H, hd.W, hd.hw
@@ -129,18 +130,19 @@ def test_out_of_range_ids_and_salience_match_native():
     assert np.allclose(flat[20:32], 5.0 + np.arange(12) * cfg.step)
     assert np.allclose(flat[:10], 9.0 + np.arange(12, 22) * cfg.step)
 
-    # out-of-range salience level -> uniform step on both backends
+    # out-of-range salience level -> clamp to the last level on both backends
     cfg_nu = CodecConfig(cluster_num=16, compress_framework="non-uniform")
     hd_nu = HostDecoder(SMALL, cfg_nu)
     sal = np.zeros(M, np.uint8)
     sal[2] = 200  # >= n_levels
     ri_native = hd_nu.reconstruct(contour, seq, stream, models, salience=sal)
+    level_acc = np.asarray(cfg_nu.level_acc, np.float32)
     ri_np = _decode_frame_np(
         contour, seq, stream, np.ascontiguousarray(models, np.float32),
-        sal, np.asarray(cfg_nu.level_acc, np.float32), cfg_nu.step,
-        hd_nu._tm, H, W,
+        sal, level_acc, cfg_nu.step, hd_nu._tm, H, W,
     )
     assert np.array_equal(ri_native, ri_np)
     assert np.allclose(
-        ri_native.reshape(-1)[:10], 9.0 + np.arange(12, 22) * cfg_nu.step
+        ri_native.reshape(-1)[:10],
+        np.float32(9.0) + np.arange(12, 22, dtype=np.float32) * level_acc[-1],
     )

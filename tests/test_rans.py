@@ -259,3 +259,29 @@ def test_corrupt_escape_list_raises():
         rc.decompress_delta_batch([corrupt])
     # the untampered container still roundtrips
     assert rc.decompress_delta_batch([blob])[0] == data.tobytes()
+
+
+def test_normalize_freqs_pathological_repair():
+    """A near-uniform histogram over a large alphabet can overdraw the
+    bump-to-1 budget so far that the top symbol cannot absorb the negative
+    correction (255 symbols x 513 + 257 singletons -> f[top] would go to
+    -129).  The repair pass must produce a valid table (present >= 1, sum
+    == M) identically in the numpy and jax implementations."""
+    from rpcc_tpu.codec import rans_native as rn
+    from rpcc_tpu.ops import rans as _rj
+
+    counts = np.zeros(512, np.int64)
+    counts[:255] = 513
+    counts[255:] = 1
+    f_np = rn.normalize_freqs(counts[None].astype(np.int64))[0]
+    f_jax = np.asarray(_rj.normalize_freqs(jnp.asarray(counts, jnp.int32)))
+    assert int(f_np.sum()) == rn.M
+    assert int(f_jax.sum()) == rn.M
+    assert (f_np[counts > 0] >= 1).all()
+    assert (f_np[counts == 0] == 0).all()
+    assert np.array_equal(f_np, f_jax)
+    # an ordinary skewed histogram still takes the original branch
+    skew = np.zeros(512, np.int64)
+    skew[:8] = [90000, 4000, 900, 200, 50, 20, 5, 1]
+    f_s = rn.normalize_freqs(skew[None])[0]
+    assert int(f_s.sum()) == rn.M and f_s[0] > 10000
