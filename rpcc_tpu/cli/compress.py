@@ -85,10 +85,11 @@ def main() -> None:
             print_trace_summary(td)
 
     # BPP accounting matches the reference (nonzero projected points,
-    # tools/compress.py:152-155).
-    out = codec.encode_device(points)
-    ri = np.asarray(out.range_image)
-    point_num = int((ri > 0).sum())
+    # tools/compress.py:152-155).  The residual stream covers exactly the
+    # nonzero pixels (id-1 zero pixels are skipped), so its length IS the
+    # point count — no extra device encode just to count pixels (a full
+    # upload + graph + download of wasted wall-clock per CLI run).
+    point_num = max(int(fields["residual_quantized"].size), 1)
     compressed_bit_size = os.path.getsize(args.output) * 8
     print("\nCompression Results: ")
     print("    Compression ratio: ", (point_num * 32 * 3) / compressed_bit_size)
@@ -96,6 +97,10 @@ def main() -> None:
     print("\n")
 
     if args.eval:
+        # eval compares against the encoder's own range image — one extra
+        # device encode here, but only when --eval asks for it.
+        out = codec.encode_device(points)
+        ri = np.asarray(out.range_image)
         with open(args.output, "rb") as f:
             blob = f.read()
         pc_rec, ri_rec, _ = codec.decompress(blob)

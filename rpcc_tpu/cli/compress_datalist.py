@@ -32,10 +32,13 @@ def output_path_for(file_name: str, output_dir: str, suffix: str) -> str:
 
 
 def _mirror_path(file_name: str, output_dir: str, suffix: str) -> str:
-    file_name = file_name.strip()
-    if file_name and file_name[0] == "/":
-        file_name = file_name[1:]
-    out = os.path.join(output_dir, file_name)
+    # Normalize and strip every leading slash and any '..' segments so a
+    # datalist entry like '//srv/data/a.bin' or '../x/a.bin' can never make
+    # the mirrored output escape --output_dir (os.path.join discards
+    # output_dir entirely when the right side is absolute).
+    file_name = os.path.normpath(file_name.strip()).lstrip(os.sep)
+    parts = [p for p in file_name.split(os.sep) if p not in ("..", "")]
+    out = os.path.join(output_dir, *parts) if parts else output_dir
     root, _ = os.path.splitext(out)
     return root + "." + suffix
 
@@ -70,13 +73,19 @@ def main() -> None:
     n = len(file_list)
     io_pool = futures.ThreadPoolExecutor(args.workers)
 
+    failed_loads: set = set()  # global indices whose load failed (keep_going)
+
     def load(idx: int):
         try:
             return load_point_cloud_f32(file_list[idx])
         except Exception as e:  # failure isolation (--keep_going)
             if not args.keep_going:
                 raise
+            failed_loads.add(idx)
             print(f"ERROR loading {file_list[idx]}: {e}")
+            # Placeholder keeps the batch shape; its output is NEVER
+            # written — a dummy .rpcc at the real path would be skipped
+            # forever by a --skip_existing resume (silent data loss).
             return np.zeros((1, 3), np.float32)
 
     t0 = time.time()
@@ -84,21 +93,26 @@ def main() -> None:
     errors = 0
     if args.output or args.eval:
         # Diagnostic path: per-batch reports need the device range image.
-        pending = None  # (future -> (device handle, live), names)
+        pending = None  # (future -> (device handle, live), names, failed set)
         for start in range(0, n, args.batch):
             names = file_list[start : start + args.batch]
             clouds = list(io_pool.map(load, range(start, min(start + args.batch, n))))
+            # loads for this batch are complete here, so the snapshot is exact
+            batch_failed = {i - start for i in failed_loads
+                            if start <= i < start + len(clouds)}
             seeds = [cfg.seed + start + i for i in range(len(clouds))]
             fut = engine.encode_batch_async(clouds, seeds)
             if pending is not None:
                 out, live = pending[0].result()
-                errors += _drain((out, live, pending[1]), engine, args)
-                done += live
-            pending = (fut, names)
+                d, e = _drain((out, live, pending[1], pending[2]), engine, args)
+                done += d
+                errors += e
+            pending = (fut, names, batch_failed)
         if pending is not None:
             out, live = pending[0].result()
-            errors += _drain((out, live, pending[1]), engine, args)
-            done += live
+            d, e = _drain((out, live, pending[1], pending[2]), engine, args)
+            done += d
+            errors += e
     else:
         # Throughput path: 3-deep pipeline (upload k / download k-1 /
         # entropy+write k-2 all overlap) fed by a background prefetcher so
@@ -107,8 +121,11 @@ def main() -> None:
             file_list, args.batch, load, seed_base=cfg.seed, workers=args.workers
         )
         name_batches = [file_list[s : s + args.batch] for s in range(0, n, args.batch)]
-        for names, results in zip(name_batches, engine.encode_pipeline(gen)):
-            for (blob, _fields), name in zip(results, names):
+        for bi, (names, results) in enumerate(zip(name_batches, engine.encode_pipeline(gen))):
+            for j, ((blob, _fields), name) in enumerate(zip(results, names)):
+                if bi * args.batch + j in failed_loads:
+                    errors += 1  # load already logged; no output written
+                    continue
                 try:
                     path = output_path_for(name, args.output_dir, "rpcc")
                     with open(path, "wb") as f:
@@ -129,21 +146,27 @@ def _existing_path(file_name: str, output_dir: str, suffix: str) -> str:
     return _mirror_path(file_name, output_dir, suffix)
 
 
-def _drain(pending, engine, args) -> int:
+def _drain(pending, engine, args):
+    """-> (written, errors) for one finished batch."""
     import numpy as np
 
-    out, live, names = pending
+    out, live, names, batch_failed = pending
     errors = 0
+    written = 0
     results = engine.finalize_encoded(out, live)
     blobs = []
     kept = []  # batch indices whose write succeeded, aligned with blobs
     for i, ((blob, fields), name) in enumerate(zip(results, names)):
+        if i in batch_failed:
+            errors += 1  # load failed (already logged); placeholder frame
+            continue
         try:
             path = output_path_for(name, args.output_dir, "rpcc")
             with open(path, "wb") as f:
                 f.write(blob)
             blobs.append(blob)
             kept.append(i)
+            written += 1
             if args.output:
                 ri = np.asarray(out.range_image[i])
                 n_pts = max(int((ri > 0).sum()), 1)
@@ -189,7 +212,7 @@ def _drain(pending, engine, args) -> int:
                 f"eval {names[i]}: max depth error {err:.5f} (bound {bound:.5f}) "
                 f"chamfer {cd['mean']:.6f} F1 {cd['f_score']:.4f} {status}"
             )
-    return errors
+    return written, errors
 
 
 if __name__ == "__main__":

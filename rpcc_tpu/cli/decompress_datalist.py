@@ -20,6 +20,26 @@ def _read_bytes(path: str) -> bytes:
         return f.read()
 
 
+def _write_batch(io_pool, names, write_one, keep_going: bool) -> int:
+    """Write one decoded batch on the IO pool with per-frame failure
+    isolation: a single failed save (disk full, bad mirrored path) must not
+    kill a --keep_going run, and must not be counted as done.
+    -> number written."""
+    def safe(i: int):
+        try:
+            write_one(i)
+            return None
+        except Exception as e:  # noqa: BLE001 — isolate, report, re-raise below
+            return (names[i], e)
+
+    fails = [r for r in io_pool.map(safe, range(len(names))) if r is not None]
+    for name, err in fails:
+        print(f"ERROR writing output for {name}: {err}")
+    if fails and not keep_going:
+        raise fails[0][1]
+    return len(names) - len(fails)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     add_codec_args(parser, datalist=True)
@@ -83,8 +103,7 @@ def main() -> None:
                 path = output_path_for(names[i], args.output_dir, "bin")
                 save_point_cloud(path, pcs[i].reshape(-1, 3))
 
-            list(io_pool.map(write, range(len(names))))
-            done += len(names)
+            done += _write_batch(io_pool, names, write, args.keep_going)
     else:
         # Throughput path: 2-deep pipeline — batch k's entropy decode +
         # upload overlaps batch k-1's range-image download + writes.
@@ -98,12 +117,11 @@ def main() -> None:
                 yield [_read_bytes(fp) for fp in names]
 
         for names, pcs in zip(name_batches, engine.decode_pipeline(gen())):
-            def write(i: int) -> None:
+            def write(i: int, names=names, pcs=pcs) -> None:
                 path = output_path_for(names[i], args.output_dir, "bin")
                 save_point_cloud(path, pcs[i].reshape(-1, 3))
 
-            list(io_pool.map(write, range(len(names))))
-            done += len(names)
+            done += _write_batch(io_pool, names, write, args.keep_going)
 
     dt = time.time() - t0
     print(f"\nDecompressed {done} frames in {dt:.2f}s ({done / dt:.2f} frames/s)")
@@ -129,12 +147,11 @@ def _host_decode_datalist(args, cfg, lidar, file_list, io_pool) -> int:
             print(f"ERROR decoding batch at {names[0]}: {e}")
             continue
 
-        def write(i: int) -> None:
+        def write(i: int, names=names, pts=pts) -> None:
             path = output_path_for(names[i], args.output_dir, "bin")
             np.ascontiguousarray(pts[i], "<f4").tofile(path)
 
-        list(io_pool.map(write, range(len(names))))
-        done += len(names)
+        done += _write_batch(io_pool, names, write, args.keep_going)
     return done
 
 

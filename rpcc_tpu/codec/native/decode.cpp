@@ -141,6 +141,8 @@ void d8_reconstruct_batch(
     int32_t q = 0;
     for (int64_t e = 0; e < n; ++e) {
       const int64_t next = pos + (int64_t)epd[e];
+      if (next >= hw) break;  // malformed exception list: never run past
+                              // the grid (same guard as the m8 twin)
       for (; p < next; ++p) {
         q += (int32_t)d[p];
         o[p] = (float)q * dl;

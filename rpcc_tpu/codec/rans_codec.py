@@ -458,6 +458,11 @@ def compress_delta_batch(arrays: Sequence[np.ndarray], lanes: int | None = None)
     nat = _native()
     if nat is None or not nat.fused_available() or _ADAPTIVE_FULL:
         return _compress_delta_batch_np(arrays, lanes)
+    routed = _route_wide_escape_frames(
+        arrays, lambda rest: compress_delta_batch(rest, lanes)
+    )
+    if routed is not None:
+        return routed
     B = len(arrays)
     out: List[bytes] = [b""] * B
     big_ix = [
@@ -547,8 +552,41 @@ def build_bits_container(T: int, H: int, W: int, freqs: np.ndarray,
     )
 
 
+def _needs_wide_escapes(a: np.ndarray) -> bool:
+    """int32 streams whose first-differences overflow int32 cannot ride the
+    delta containers: escape values are u32 on the wire (zigzag of an int33
+    delta wraps), and every backend would silently truncate.  i16/u16
+    streams are always safe (zigzag <= 131071)."""
+    if a.dtype != np.int32 or a.size < 2:
+        return False
+    d = np.diff(a.astype(np.int64))
+    return bool(d.min() < -(2**31) or d.max() > 2**31 - 1)
+
+
+def _route_wide_escape_frames(arrays, encode_rest):
+    """Split off frames that need >u32 escapes to lossless plain-bz2 ('B')
+    containers; ``encode_rest`` codes the remaining frames.  Returns None
+    when no frame needs routing (the common case, zero-copy)."""
+    wide = [i for i, a in enumerate(arrays) if _needs_wide_escapes(np.asarray(a))]
+    if not wide:
+        return None
+    out: List[bytes] = [b""] * len(arrays)
+    for i in wide:
+        out[i] = bytes([MAGIC_BZ]) + bz2.compress(np.asarray(arrays[i]).tobytes())
+    rest = [i for i in range(len(arrays)) if i not in set(wide)]
+    if rest:
+        for i, blob in zip(rest, encode_rest([arrays[i] for i in rest])):
+            out[i] = blob
+    return out
+
+
 def _compress_delta_batch_np(arrays: Sequence[np.ndarray], lanes: int | None = None) -> List[bytes]:
     """numpy/jax-kernel implementation (also runs the bzd comparison)."""
+    routed = _route_wide_escape_frames(
+        arrays, lambda rest: _compress_delta_batch_np(rest, lanes)
+    )
+    if routed is not None:
+        return routed
     B = len(arrays)
     per = [_symbolize(np.asarray(a)) for a in arrays]
     n_max = max((p[3] for p in per), default=0)
@@ -643,12 +681,16 @@ def decompress_delta_batch(blobs: Sequence[bytes]) -> List[bytes]:
     steps beyond a frame's own T produce discarded symbols (rANS decoding is
     forward-causal, so earlier outputs are unaffected).
     """
-    if any(b[0] == MAGIC_BZD for b in blobs):
+    if any(b[0] in (MAGIC_BZD, MAGIC_BZ) for b in blobs):
+        # 'Z' (bz2-over-delta) and 'B' (plain bz2 — the wide-escape route
+        # for int32 streams whose deltas overflow u32) decode per frame.
         out = [None] * len(blobs)
-        rans_ix = [i for i, b in enumerate(blobs) if b[0] != MAGIC_BZD]
+        rans_ix = [i for i, b in enumerate(blobs) if b[0] not in (MAGIC_BZD, MAGIC_BZ)]
         for i, b in enumerate(blobs):
             if b[0] == MAGIC_BZD:
                 out[i] = _decompress_bzd(b)
+            elif b[0] == MAGIC_BZ:
+                out[i] = bz2.decompress(b[1:])
         if rans_ix:
             sub = decompress_delta_batch([blobs[i] for i in rans_ix])
             for j, i in enumerate(rans_ix):

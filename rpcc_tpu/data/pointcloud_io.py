@@ -47,7 +47,12 @@ def load_point_cloud_f32(file: str) -> np.ndarray:
 
 
 def save_point_cloud(file: str, point_cloud: np.ndarray) -> None:
-    """Save, dropping all-zero points like the reference (dataset.py:74-75)."""
+    """Save, dropping points whose coordinates SUM to zero — deliberate
+    reference parity (dataset.py:74-75, same rule in decode.cpp's compacted
+    output): decoded zero pixels land exactly at the origin and are
+    dropped, but a legitimate point on the x+y+z=0 plane (e.g. (1,-1,0))
+    is also removed.  Keep this in mind when comparing clouds point-for-
+    point; the codec's own eval paths compare range images, not saves."""
     pc = np.asarray(point_cloud).reshape(-1, point_cloud.shape[-1])
     pc = pc[np.sum(pc, -1) != 0]
     ext = file.split(".")[-1].lower()
@@ -84,7 +89,10 @@ def _read_ply(file: str) -> np.ndarray:
         n = 0
         props = []
         while True:
-            line = f.readline().strip()
+            raw_line = f.readline()
+            if not raw_line:  # EOF before end_header: truncated/corrupt file
+                raise ValueError(f"truncated ply header in {file}")
+            line = raw_line.strip()
             if line.startswith(b"format"):
                 fmt = line.split()[1]
             elif line.startswith(b"element vertex"):
@@ -125,7 +133,10 @@ def _read_pcd(file: str) -> np.ndarray:
         n = 0
         data_mode = "ascii"
         while True:
-            line = f.readline().decode("ascii", "ignore").strip()
+            raw_line = f.readline()
+            if not raw_line:  # EOF before DATA: truncated/corrupt file
+                raise ValueError(f"truncated pcd header in {file}")
+            line = raw_line.decode("ascii", "ignore").strip()
             key, _, rest = line.partition(" ")
             if key == "FIELDS":
                 fields = rest.split()

@@ -198,10 +198,15 @@ def test_datalist_keep_going_with_bad_file(frame_bin, tmp_path, monkeypatch, cap
     )
     outp = capsys.readouterr().out
     assert "ERROR loading" in outp
+    assert "1 errors" in outp
     import glob
 
-    # the good frame still compressed; the bad one became an (empty) frame
-    assert len(glob.glob(out_dir + "/**/*.rpcc", recursive=True)) == 2
+    # the good frame still compressed; the bad one must NOT produce an
+    # output file — a dummy .rpcc at the real path would be skipped forever
+    # by a --skip_existing resume (silent data loss)
+    written = glob.glob(out_dir + "/**/*.rpcc", recursive=True)
+    assert len(written) == 1
+    assert "missing" not in written[0]
 
 
 def test_output_path_for_extension_substring_in_dir(tmp_path):
@@ -214,3 +219,40 @@ def test_output_path_for_extension_substring_in_dir(tmp_path):
     # extensionless input just gains the suffix
     out2 = output_path_for("/data/frames/000002", str(tmp_path), "rpcc")
     assert out2 == str(tmp_path / "data/frames/000002.rpcc")
+
+
+def test_mirror_path_cannot_escape_output_dir(tmp_path):
+    """'..' segments and doubled leading slashes in datalist entries must
+    never let the mirrored output path escape --output_dir."""
+    import os
+
+    from rpcc_tpu.cli.compress_datalist import _mirror_path
+
+    base = str(tmp_path / "out")
+    for entry in (
+        "//srv/data/frame.bin",        # os.path.join discards base if right side is absolute
+        "../../../etc/passwd.bin",
+        "/data/../../escape/frame.bin",
+        "a/../../b/frame.bin",
+    ):
+        out = _mirror_path(entry, base, "rpcc")
+        assert os.path.abspath(out).startswith(os.path.abspath(base) + os.sep), (
+            entry, out
+        )
+
+
+def test_truncated_ply_pcd_headers_raise(tmp_path):
+    """A truncated header (no end_header / DATA line) must raise, not spin
+    forever at EOF — one bad file would otherwise hang a datalist run."""
+    import pytest
+
+    from rpcc_tpu.data.pointcloud_io import _read_pcd, _read_ply
+
+    bad_ply = tmp_path / "bad.ply"
+    bad_ply.write_bytes(b"ply\nformat binary_little_endian 1.0\nelement vertex 3\n")
+    with pytest.raises(ValueError, match="truncated ply"):
+        _read_ply(str(bad_ply))
+    bad_pcd = tmp_path / "bad.pcd"
+    bad_pcd.write_bytes(b"VERSION 0.7\nFIELDS x y z\nPOINTS 3\n")
+    with pytest.raises(ValueError, match="truncated pcd"):
+        _read_pcd(str(bad_pcd))

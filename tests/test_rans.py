@@ -285,3 +285,25 @@ def test_normalize_freqs_pathological_repair():
     skew[:8] = [90000, 4000, 900, 200, 50, 20, 5, 1]
     f_s = rn.normalize_freqs(skew[None])[0]
     assert int(f_s.sum()) == rn.M and f_s[0] > 10000
+
+
+def test_int32_wide_escape_routes_to_lossless_bz2():
+    """int32 streams whose first-differences overflow int32 cannot ride the
+    delta containers (escape values are u32 on the wire) — they must route
+    to a plain-bz2 container and roundtrip losslessly instead of silently
+    truncating."""
+    from rpcc_tpu.codec import rans_codec as rc
+
+    wild = np.asarray([-(2**31), 2**31 - 1, 0, -(2**31), 5], np.int32)
+    blob = rc.compress_delta_batch([wild])[0]
+    assert blob[0] == rc.MAGIC_BZ
+    assert rc.decompress_delta_batch([blob])[0] == wild.tobytes()
+    assert rc.decompress(blob) == wild.tobytes()
+    # mixed batch: the wide frame routes, the sane frame stays a delta container
+    sane = np.cumsum(np.random.default_rng(0).integers(-3, 4, 40000)).astype(np.int32)
+    blobs = rc.compress_delta_batch([wild, sane])
+    assert blobs[0][0] == rc.MAGIC_BZ and blobs[1][0] != rc.MAGIC_BZ
+    out = rc.decompress_delta_batch(blobs)
+    assert out[0] == wild.tobytes() and out[1] == sane.tobytes()
+    # the generic compress() entry point roundtrips too
+    assert rc.decompress(rc.compress(wild)) == wild.tobytes()
