@@ -222,7 +222,11 @@ def main() -> None:
 
     lidar64 = LidarConfig.from_yaml(__lidar_cfg__["Velodyne64E"], name="Velodyne64E")
     pc = load_point_cloud(EXAMPLE).astype(np.float32)
-    n_chips = max(1, len(jax.devices()))
+    # Every bench engine is built WITHOUT a mesh, so all work runs on one
+    # chip regardless of how many devices the runtime exposes — per-chip
+    # normalization is therefore /1, not /len(jax.devices()) (which would
+    # understate every number on a multi-device image).
+    n_chips = 1
     variants = _jittered_variants(pc, 8)
 
     # ---- config 1 (headline): uniform / point / FPS / default coder (rans)
@@ -237,15 +241,12 @@ def main() -> None:
         lidar64, cfg_flag, pc, n_chips, e2e=True,
         extra={"transfer": "m8", "entropy": "device"},
     )
-    # warm the jittered-content exception bucket so no mid-window compiles
-    engine_flag.encode_frames([variants[0]] * BATCH, seeds=range(BATCH))
-    # reference-parity coder's bpp for the same frame
+    # reference-parity coder's bpp for the same frame: device-entropy
+    # engines carry only host-visible fields, so re-encode the frame on a
+    # host-entropy engine for the bzip2 comparison
     from rpcc_tpu.codec.bitstream import pack_bitstream
     from rpcc_tpu.codec.entropy import BasicCompressor
 
-    fields1 = engine_flag.encode_frames([pc], seeds=[0])[0][1]
-    # device-entropy fields carry only host-visible fields; re-encode the
-    # frame on a host-entropy engine for the bzip2 comparison
     cfg1 = CodecConfig()
     from rpcc_tpu.parallel import BatchEngine
 
@@ -425,12 +426,13 @@ def main() -> None:
     )
 
     # Headline last: drivers that parse the final line get it.  MEDIAN of
-    # >= 3 sustained windows measured back-to-back (everything warm), all
-    # windows disclosed — the tunneled rig drifts tens of percent over
-    # minutes, so a median, not a best-of, is the defensible claim.
-    windows = [float(head["value"])]
-    for _ in range(HEADLINE_WINDOWS - 1):
-        windows.append(measure_e2e(engine_flag, pc, n_chips))
+    # >= 3 sustained windows, ALL measured back-to-back here at the end of
+    # the run (everything warm), all windows disclosed — the tunneled rig
+    # drifts tens of percent over minutes, so a median of same-regime
+    # windows, not a best-of or a mix with the run-start figure, is the
+    # defensible claim.  The run-start window stays as a named field.
+    head["first_config_window_fps"] = float(head["value"])
+    windows = [measure_e2e(engine_flag, pc, n_chips) for _ in range(HEADLINE_WINDOWS)]
     ordered = sorted(windows)
     med = ordered[len(ordered) // 2]
     head["value"] = round(med, 3)

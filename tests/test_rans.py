@@ -145,13 +145,14 @@ def test_contour_container_backends_agree():
         for _ in range(4)
     ]
     blobs_native = rans_codec._compress_bits_batch(packed, 16, 256)
+    orig_device = rans_codec._RANS_DEVICE
     try:
         rans_codec._RANS_DEVICE = "jax-test"  # disable native
         blobs_jax = rans_codec._compress_bits_batch(packed, 16, 256)
         assert blobs_native == blobs_jax
         recs = rans_codec.decompress_contour_batch(blobs_native)
     finally:
-        rans_codec._RANS_DEVICE = "cpu"
+        rans_codec._RANS_DEVICE = orig_device  # not a literal: env-var-derived
     recs2 = rans_codec.decompress_contour_batch(blobs_jax)
     assert recs == recs2 == [p.tobytes() for p in packed]
 
