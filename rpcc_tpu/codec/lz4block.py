@@ -293,6 +293,15 @@ def _py_decompress(blob: bytes, out_len: int) -> bytes:
                 if b != 255:
                     break
         mlen += MINMATCH
+        if off == 0 or off > len(out):
+            # The native decoder rejects offsets beyond the produced
+            # output (`op - dst < off`); Python negative indexing would
+            # otherwise silently copy from the END of the buffer and
+            # decode garbage of the correct length.
+            raise RuntimeError(
+                f"lz4 python decompression failed (bad offset {off} "
+                f"at {len(out)} bytes)"
+            )
         start = len(out) - off
         for k in range(mlen):
             out.append(out[start + k])

@@ -141,8 +141,12 @@ void d8_reconstruct_batch(
     int32_t q = 0;
     for (int64_t e = 0; e < n; ++e) {
       const int64_t next = pos + (int64_t)epd[e];
-      if (next >= hw) break;  // malformed exception list: never run past
-                              // the grid (same guard as the m8 twin)
+      // Malformed exception list: positions must be strictly increasing
+      // (epd >= 1) and inside the grid.  A zero pos-delta would make
+      // `next < p` after the previous exception's p++ and the unguarded
+      // o[p++] below would walk past the output buffer one float per
+      // entry (heap OOB write, wire-reachable).
+      if (epd[e] == 0 || next >= hw) break;
       for (; p < next; ++p) {
         q += (int32_t)d[p];
         o[p] = (float)q * dl;
@@ -193,7 +197,10 @@ void m8_reconstruct_batch(
     int32_t q = 0;
     for (int64_t e = 0; e < ne; ++e) {
       const int64_t next = pos + (int64_t)epd[e];
-      if (next >= n) break;
+      // epd == 0 would make next < p (or next == -1 on an empty stream)
+      // and the unguarded nzv[p++] below would overflow the n-element
+      // vector one float per entry — same guard as d8_reconstruct_batch.
+      if (epd[e] == 0 || next >= n) break;
       for (; p < next; ++p) {
         q += (int32_t)d[p];
         nzv[(size_t)p] = (float)q * dl;

@@ -21,6 +21,10 @@ size_t deflate_bound(size_t n) { return compressBound(n) + 32; }
 // Returns compressed size or 0 on failure.
 size_t gzip_compress_buf(const uint8_t* src, size_t src_len,
                          uint8_t* dst, size_t dst_cap, int level) {
+    // zlib's avail_in/avail_out are uInt (32-bit): a >=4 GB buffer would
+    // silently process only its low-32-bit prefix and report success.
+    // Fields here are KB-MB; refuse loudly rather than truncate.
+    if (src_len > 0xFFFFFFFFull || dst_cap > 0xFFFFFFFFull) return 0;
     z_stream zs;
     std::memset(&zs, 0, sizeof(zs));
     if (deflateInit2(&zs, level, Z_DEFLATED, 15 + 16 /*gzip*/, 8,
@@ -43,6 +47,7 @@ size_t gzip_compress_buf(const uint8_t* src, size_t src_len,
 // Returns decompressed size or 0 on failure/overflow.
 size_t gzip_decompress_buf(const uint8_t* src, size_t src_len,
                            uint8_t* dst, size_t dst_cap) {
+    if (src_len > 0xFFFFFFFFull || dst_cap > 0xFFFFFFFFull) return 0;
     z_stream zs;
     std::memset(&zs, 0, sizeof(zs));
     if (inflateInit2(&zs, 15 + 32 /*auto gzip/zlib*/) != Z_OK) return 0;

@@ -310,6 +310,14 @@ def decompress_contour_batch(blobs: Sequence[bytes]) -> List[bytes]:
     heads = [struct.unpack_from("<BHHH", b, 0) for b in blobs]
     T, H, W = heads[0][1], heads[0][2], heads[0][3]
     assert all(h[1:] == (T, H, W) for h in heads), "mixed contour geometries"
+    if T < H + W - 1 or H < 1 or W < 1:
+        # The wavefront skew stores row r at offset r, so the de-skew reads
+        # sym[r*T + r + c] up to (H-1)*(T+1)+W-1 — a container claiming a
+        # smaller T would read past the (B, H, T) symbol block in the
+        # native finalize (heap disclosure into decoder output).
+        raise ValueError(
+            f"corrupt contour container: T={T} < H+W-1 for {H}x{W}"
+        )
     freqs = np.zeros((B, 4, 2), np.int32)
     states = np.zeros((B, H), np.uint32)
     counts = np.zeros((B, H), np.int32)
@@ -655,6 +663,13 @@ def _parse_delta(blob: bytes):
     magic, log_lanes, T, n, q0 = struct.unpack_from("<BBHIi", blob, 0)
     off = 12
     lanes = 1 << log_lanes
+    if n > lanes * T:
+        # The decoders produce at most lanes*T symbols; a container
+        # claiming more would return np.empty tail bytes (heap disclosure)
+        # from the native finalize, or a silently short buffer from numpy.
+        raise ValueError(
+            f"corrupt delta container: n={n} > lanes*T={lanes}*{T}"
+        )
     (n_esc,) = struct.unpack_from("<I", blob, off)
     off += 4
     escapes = np.frombuffer(blob, "<u4", n_esc, off).astype(np.int64)

@@ -184,6 +184,14 @@ def delta_encode_frames(arrays, L: int, T: int, alphabet: int, num_ctx: int,
     q_ptrs = np.asarray([a.ctypes.data for a in arrays], np.uint64)
     dtypes = np.asarray([dt_map[a.dtype] for a in arrays], np.uint8)
     lens = np.asarray([a.size for a in arrays], np.int64)
+    if lens.size and int(lens.max()) > L * T:
+        # The C kernel writes sym[j]/ctx[j] for every j < lens[b] into
+        # L*T-element buffers with no bound check of its own — a
+        # mismatched T from a future call site would corrupt the heap.
+        raise ValueError(
+            f"delta_encode_frames: max frame size {int(lens.max())} "
+            f"exceeds lanes*T = {L}*{T}"
+        )
     packed = np.zeros((B, L * T), np.uint16)
     n_words = np.zeros(B, np.int32)
     counts = np.zeros((B, L), np.int32)

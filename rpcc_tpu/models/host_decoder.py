@@ -134,11 +134,23 @@ def d8_reconstruct_batch(
         C = np.cumsum(d32, dtype=np.int32)
         n = min(int(n_exc[i]), cap)
         if n > 0:
-            pos = np.cumsum(pd[i, :n].astype(np.int64)) - 1
-            K = val[i, :n].astype(np.int32) - C[pos]
-            corr = np.zeros(hw, np.int32)
-            corr[pos] = np.diff(K, prepend=np.int32(0))
-            q = C + np.cumsum(corr, dtype=np.int32)
+            pdv = pd[i, :n].astype(np.int64)
+            pos = np.cumsum(pdv) - 1
+            # Malformed lists truncate at the first non-increasing or
+            # out-of-grid position, exactly like the native kernel's
+            # `epd == 0 || next >= hw` break — both backends must decode
+            # the same (possibly corrupt) wire bytes identically.
+            bad = (pdv == 0) | (pos >= hw)
+            if bad.any():
+                n = int(np.argmax(bad))
+                pos = pos[:n]
+            if n > 0:
+                K = val[i, :n].astype(np.int32) - C[pos]
+                corr = np.zeros(hw, np.int32)
+                corr[pos] = np.diff(K, prepend=np.int32(0))
+                q = C + np.cumsum(corr, dtype=np.int32)
+            else:
+                q = C
         else:
             q = C
         out[i] = (q.astype(np.float32) * np.float32(delta[i])).reshape(H, W)
@@ -174,7 +186,10 @@ def m8_reconstruct_batch(
     exc_cap = pd.shape[1]
     out = np.empty((B, H, W), np.float32)
     lib = native_lib()
-    if lib is not None and hasattr(lib, "m8_reconstruct_batch"):
+    # hw % 8 gate mirrors the encode side (project_points_host_m8): the
+    # native expansion walks whole mask bytes and would leave the last
+    # hw % 8 floats of the np.empty output unwritten.
+    if lib is not None and hasattr(lib, "m8_reconstruct_batch") and hw % 8 == 0:
         import ctypes as ct
 
         mc = np.ascontiguousarray(maskp)
@@ -204,12 +219,22 @@ def m8_reconstruct_batch(
         ne = min(int(n_exc[i]), exc_cap)
         C = np.cumsum(d8c[i, :n].astype(np.int32), dtype=np.int32)
         if ne > 0 and n > 0:
-            pos = np.cumsum(pd[i, :ne].astype(np.int64)) - 1
-            pos = pos[pos < n]
-            K = val[i, : pos.shape[0]].astype(np.int32) - C[pos]
-            corr = np.zeros(n, np.int32)
-            corr[pos] = np.diff(K, prepend=np.int32(0))
-            nzq = C + np.cumsum(corr, dtype=np.int32)
+            pdv = pd[i, :ne].astype(np.int64)
+            pos = np.cumsum(pdv) - 1
+            # Truncate at the first non-increasing or out-of-stream
+            # position (native `epd == 0 || next >= n` break) — the old
+            # `pos[pos < n]` filter also misaligned the values against the
+            # surviving positions.
+            bad = (pdv == 0) | (pos >= n)
+            ne = int(np.argmax(bad)) if bad.any() else ne
+            pos = pos[:ne]
+            if ne > 0:
+                K = val[i, :ne].astype(np.int32) - C[pos]
+                corr = np.zeros(n, np.int32)
+                corr[pos] = np.diff(K, prepend=np.int32(0))
+                nzq = C + np.cumsum(corr, dtype=np.int32)
+            else:
+                nzq = C
         else:
             nzq = C
         bits = np.unpackbits(maskp[i])[:hw]

@@ -146,3 +146,77 @@ def test_out_of_range_ids_and_salience_match_native():
         ri_native.reshape(-1)[:10],
         np.float32(9.0) + np.arange(12, 22, dtype=np.float32) * level_acc[-1],
     )
+
+
+def test_malformed_exception_lists_native_matches_numpy():
+    """Adversarial d8/m8 downlink exception lists (zero pos-deltas, chains
+    past the grid) must decode identically on the native kernel and the
+    numpy twin, and never write out of bounds (the unguarded walk wrote one
+    float past the buffer per zero entry)."""
+    from rpcc_tpu.codec.lz4block import native_lib
+    from rpcc_tpu.models.host_decoder import (
+        d8_reconstruct_batch,
+        m8_reconstruct_batch,
+    )
+
+    H, W = 4, 16
+    hw = H * W
+    rng = np.random.default_rng(3)
+
+    def both_d8(pd, val, n_exc):
+        d8 = rng.integers(-5, 6, (1, H, W)).astype(np.int8)
+        delta = np.asarray([0.5], np.float32)
+        nat = d8_reconstruct_batch(d8, pd, val, n_exc, delta)
+        if native_lib() is None:
+            return nat, nat
+        import rpcc_tpu.models.host_decoder as hd_mod
+        import rpcc_tpu.codec.lz4block as lz
+
+        orig = lz.native_lib
+        lz.native_lib = lambda: None
+        try:
+            np_out = d8_reconstruct_batch(d8, pd, val, n_exc, delta)
+        finally:
+            lz.native_lib = orig
+        return nat, np_out
+
+    cap = 8
+    # pd = [hw, 0, 0, ...]: first exception at the LAST pixel, then zero
+    # deltas — the PoC that walked past the output buffer
+    pd = np.zeros((1, cap), np.uint16)
+    pd[0, 0] = hw
+    val = np.full((1, cap), 7, np.uint16)
+    nat, npo = both_d8(pd, val, np.asarray([cap], np.int32))
+    assert np.array_equal(nat, npo)
+    # chain running past the grid mid-list
+    pd2 = np.full((1, cap), W, np.uint16)
+    nat, npo = both_d8(pd2, val, np.asarray([cap], np.int32))
+    assert np.array_equal(nat, npo)
+
+    # m8: compact stream of n nonzeros, exceptions with zero deltas
+    nz_cap, exc_cap = 16, 8
+    maskp = np.zeros((1, hw // 8), np.uint8)
+    maskp[0, :2] = 0xFF  # 16 live pixels
+    d8c = rng.integers(-5, 6, (1, nz_cap)).astype(np.int8)
+    pdm = np.zeros((1, exc_cap), np.uint16)
+    pdm[0, 0] = nz_cap  # lands on the last compact slot
+    valm = np.full((1, exc_cap), 9, np.uint16)
+    args = (maskp, d8c, pdm, valm, np.asarray([nz_cap], np.int32),
+            np.asarray([exc_cap], np.int32), np.asarray([0.5], np.float32),
+            H, W)
+    nat = m8_reconstruct_batch(*args)
+    if native_lib() is not None:
+        import rpcc_tpu.codec.lz4block as lz
+
+        orig = lz.native_lib
+        lz.native_lib = lambda: None
+        try:
+            npo = m8_reconstruct_batch(*args)
+        finally:
+            lz.native_lib = orig
+        assert np.array_equal(nat, npo)
+    # empty compact stream + zero pos-delta (wrote nzv[0] on a 0-size vector)
+    args0 = (maskp, d8c, pdm, valm, np.asarray([0], np.int32),
+             np.asarray([1], np.int32), np.asarray([0.5], np.float32), H, W)
+    out0 = m8_reconstruct_batch(*args0)
+    assert np.array_equal(out0, np.zeros((1, H, W), np.float32))

@@ -308,3 +308,40 @@ def test_int32_wide_escape_routes_to_lossless_bz2():
     assert out[0] == wild.tobytes() and out[1] == sane.tobytes()
     # the generic compress() entry point roundtrips too
     assert rc.decompress(rc.compress(wild)) == wild.tobytes()
+
+
+def test_corrupt_container_headers_raise():
+    """Wire-derived header fields that would drive the native finalizers
+    out of bounds (contour T smaller than the wavefront needs, delta n
+    beyond lanes*T) must raise before any kernel runs."""
+    import struct
+
+    import pytest
+
+    from rpcc_tpu.codec import rans_codec as rc
+
+    # contour: shrink the claimed T below H+W-1 (build the 'N' container
+    # directly — compress_contour may adaptively pick bz2 for this content)
+    bits = np.packbits((np.random.default_rng(1).random(32 * 64) < 0.2))
+    blob = rc._compress_bits(bits, 32, 64)
+    assert blob[0] == rc.MAGIC_BITS
+    buf = bytearray(blob)
+    struct.pack_into("<H", buf, 1, 16)  # T := 16 < 32+64-1
+    with pytest.raises(ValueError, match="corrupt contour"):
+        rc.decompress_contour_batch([bytes(buf)])
+
+    # delta: inflate the claimed n beyond lanes*T
+    data = np.cumsum(np.random.default_rng(2).integers(-3, 4, 4096)).astype(np.int16)
+    dblob = rc.compress_delta_batch([data])[0]
+    if dblob[0] in (rc.MAGIC_CTX, rc.MAGIC_DELTA):
+        dbuf = bytearray(dblob)
+        struct.pack_into("<I", dbuf, 4, 10_000_000)
+        with pytest.raises(ValueError, match="corrupt delta"):
+            rc.decompress_delta_batch([bytes(dbuf)])
+
+    # fused encoder refuses frames larger than its lanes*T buffers
+    from rpcc_tpu.codec import rans_native as rn
+
+    if rn.fused_available():
+        with pytest.raises(ValueError, match="exceeds lanes"):
+            rn.delta_encode_frames([np.zeros(1000, np.int16)], 2, 4, 512, 4)
