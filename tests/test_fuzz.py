@@ -100,3 +100,47 @@ def test_degenerate_clouds():
     pc_rec, ri_rec, _ = codec_p.decompress(blob)
     ri = np.asarray(codec_p.encode_device(wall).range_image)
     assert np.abs(ri_rec - ri).max() <= codec_p.cfg.step + 1e-5
+
+
+def test_host_decoder_survives_mutated_bitstreams():
+    """Adversarial .rpcc robustness: bit flips, byte stomps, truncations,
+    splices and pure garbage must either decode or raise a clean Python
+    exception — never crash the native layer (wire-derived lengths drive
+    raw C walks; the guards this pins were added after confirmed heap-OOB
+    PoCs)."""
+    from rpcc_tpu.config import CodecConfig
+    from rpcc_tpu.models.host_decoder import HostDecoder
+    from rpcc_tpu.parallel import BatchEngine
+    from tests.test_roundtrip import SMALL, synth_scene
+
+    cfg = CodecConfig(cluster_num=16)
+    engine = BatchEngine(SMALL, cfg, batch_size=1, workers=2)
+    blob = engine.encode_frames([synth_scene(seed=5)], seeds=[0])[0][0]
+    hd = HostDecoder(SMALL, cfg)
+    rng = np.random.default_rng(7)
+    decoded = raised = 0
+    for trial in range(300):
+        b = bytearray(blob)
+        mode = trial % 5
+        if mode == 0:
+            i = int(rng.integers(0, len(b)))
+            b[i] ^= 1 << int(rng.integers(0, 8))
+        elif mode == 1:
+            i = int(rng.integers(0, len(b)))
+            b[i] = int(rng.integers(0, 256))
+        elif mode == 2:
+            b = b[: int(rng.integers(1, len(b)))]
+        elif mode == 3:
+            i = int(rng.integers(0, max(1, len(b) - 16)))
+            b[i : i + 16] = rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+        else:
+            b = bytearray(
+                rng.integers(0, 256, int(rng.integers(8, 4096)), dtype=np.uint8).tobytes()
+            )
+        try:
+            ris = hd.decode_blobs([bytes(b)])
+            assert ris[0].shape == (SMALL.height, SMALL.width)
+            decoded += 1
+        except Exception:
+            raised += 1  # clean failure is fine; a segfault would kill pytest
+    assert decoded + raised == 300
