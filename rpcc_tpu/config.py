@@ -77,6 +77,9 @@ class LidarConfig:
             with open(channel_distribute_csv, "r") as fin:
                 for r in csv.DictReader(fin):
                     rows.append((int(r["channel"]), float(r["vertical_angle"])))
+            # Rows are keyed by 'channel' — sort by it so an out-of-order
+            # CSV cannot silently misorder every range-image row's angle.
+            rows.sort()
             angles = tuple(a for _, a in rows)
         return cls(
             name=name or os.path.splitext(os.path.basename(path))[0],
@@ -146,6 +149,23 @@ class CodecConfig:
     # host decoders ('rans' coder only; engine path).
     device_entropy: bool = False
 
+    def __post_init__(self):
+        # Enum-valued knobs fail loudly on typos: a misspelled
+        # transfer_precision would otherwise silently select full-f32
+        # uploads (4-8x wire inflation on a wire-bound rig), and a
+        # misspelled modeling_method would silently select plane modeling.
+        _check = (
+            ("compress_framework", ("uniform", "non-uniform")),
+            ("segment_method", ("FPS", "DBSCAN")),
+            ("modeling_method", ("point", "plane")),
+            ("basic_compressor", ("lz4", "bzip2", "gzip", "deflate", "rans")),
+            ("transfer_precision", ("f32", "u16", "i8", "m8")),
+        )
+        for field, allowed in _check:
+            v = getattr(self, field)
+            if v not in allowed:
+                raise ValueError(f"{field}={v!r} — expected one of {allowed}")
+
     @property
     def uniform(self) -> bool:
         return self.compress_framework == "uniform"
@@ -186,6 +206,12 @@ class CodecConfig:
             modeling_method=raw.get("modeling_method", "point"),
             plane_angle_threshold=float(raw.get("plane_angle_threshold", 75.0)),
             basic_compressor=raw.get("basic_compressor", "rans"),
+            # Engine/transport knobs are YAML-settable too (the docstring
+            # promises field names map 1:1 to YAML keys).
+            cpu_fps=bool(raw.get("cpu_fps", False)),
+            seed=int(raw.get("seed", 0)),
+            transfer_precision=raw.get("transfer_precision", "f32"),
+            device_entropy=bool(raw.get("device_entropy", False)),
         )
         kwargs.update({k: v for k, v in overrides.items() if v is not None})
         return cls(**kwargs)

@@ -292,16 +292,20 @@ def build_encode_fn(
         # Transfer compression of the residual stream: i8 body + top_k
         # exception list (one partial sort over |q|, no scatters).  With
         # device entropy the stream is never downloaded raw — skip the pass.
+        # out_exc_*: the DOWNLINK exception view of the residual stream —
+        # distinct names from the exc_pd/exc_val UPLINK parameters consumed
+        # by the ri_d8/ri_m8 branches above, so a later read cannot silently
+        # pick up the wrong list.
         dev_entropy = cfg.device_entropy and cfg.basic_compressor == "rans"
         q16 = q.astype(jnp.int16)
         if dev_entropy:
-            exc_count = exc_pos = exc_val = q8 = None
+            out_exc_count = out_exc_pos = out_exc_val = q8 = None
         else:
             absq = jnp.abs(q)
             is_exc = absq > 127
-            exc_count = is_exc.sum().astype(jnp.int32)
-            _, exc_pos = jax.lax.top_k(absq, EXC_CAP)  # exceptions sort first
-            exc_val = q16[exc_pos]
+            out_exc_count = is_exc.sum().astype(jnp.int32)
+            _, out_exc_pos = jax.lax.top_k(absq, EXC_CAP)  # exceptions sort first
+            out_exc_val = q16[out_exc_pos]
             q8 = jnp.where(is_exc, -128, q).astype(jnp.int8)
 
         code = extract_contour(seg)
@@ -345,9 +349,9 @@ def build_encode_fn(
             salience=salience,
             key_point_map=kp_map,
             stream_i8=q8,
-            exc_pos=None if exc_pos is None else exc_pos.astype(jnp.int32),
-            exc_val=exc_val,
-            exc_count=exc_count,
+            exc_pos=None if out_exc_pos is None else out_exc_pos.astype(jnp.int32),
+            exc_val=out_exc_val,
+            exc_count=out_exc_count,
             **de,
         )
 

@@ -74,7 +74,12 @@ class RPCCCodec:
         # Production encode takes the host-projected range image (numpy
         # binning + native scatter-min): 3x smaller uploads, no device
         # compaction sorts, backend-independent bitstreams.
-        self._encode = make_encoder(lidar, cfg, from_ri=True)
+        # device_entropy is a batch-engine downlink optimization: the
+        # single-frame path entropy-codes on host, so building the in-graph
+        # rANS here would force its outputs (+30% device time) and then
+        # discard them — drop the flag for this encoder only.
+        enc_cfg = cfg.replace(device_entropy=False) if cfg.device_entropy else cfg
+        self._encode = make_encoder(lidar, enc_cfg, from_ri=True)
         self._decode = make_decoder(lidar, cfg)
         self.entropy = BasicCompressor(
             method_name=cfg.basic_compressor, contour_shape=(self.H, self.W)
@@ -88,10 +93,25 @@ class RPCCCodec:
 
     # ------------------------------------------------------------- encode
     def encode_device(self, points: np.ndarray, seed: Optional[int] = None):
-        """Host-project, then run the device graph; returns the EncoderOutput."""
-        from rpcc_tpu.ops.projection import project_points_host
+        """Host-project, then run the device graph; returns the EncoderOutput.
 
-        ri = project_points_host(np.asarray(points, np.float32)[:, :3], self.lidar)
+        In the reduced transfer modes ('u16'/'i8'/'m8') the batch engine
+        quantizes the u16-snapped grid; apply the same snap here so the
+        single-frame path emits the same bitstream bytes as the engine for
+        the same config + cloud + seed (i8/m8 reconstruct the exact u16
+        grid, so one snap covers all three)."""
+        pts = np.asarray(points, np.float32)[:, :3]
+        if self.cfg.transfer_precision != "f32":
+            from rpcc_tpu.ops.projection import project_points_host_u16
+
+            q, d = project_points_host_u16(
+                pts, self.lidar, np.float32(self.cfg.step / 16.0)
+            )
+            ri = q.astype(np.float32) * d
+        else:
+            from rpcc_tpu.ops.projection import project_points_host
+
+            ri = project_points_host(pts, self.lidar)
         seed = self.cfg.seed if seed is None else seed
         return self._encode(ri, np.uint32(seed), self._step_arg)
 

@@ -51,7 +51,7 @@ class _Staged(NamedTuple):
     stream_dev: object  # (B, m_stream) i8 transfer view, async copy queued
     seq_dev: object  # (B, m_seq) u16, async copy queued
     contour_dev: object  # (B, HW/8) u8
-    models_dev: object  # (B, M, 4) f32
+    models_dev: object  # (B, M*4) f32 — flat downlink, host reshapes
     salience_dev: object  # (B, M) u8 or None
     exc_pos_dev: object  # (B, EXC_CAP) i32
     exc_val_dev: object  # (B, EXC_CAP) i16
@@ -158,6 +158,13 @@ class BatchEngine:
         # native projection releases the GIL, so both make progress even on
         # the 1-core host — the wire is idle CPU time).
         self._stacker = futures.ThreadPoolExecutor(1)
+        # Download the (B, M, 4) model table as flat (B, M*4): a trailing
+        # dim of 4 is tile-padded on TPU downloads (measured 46.5 -> 30.1
+        # ms/batch-64 on this tunnel); bytes are row-major so the host
+        # reshape is free and byte-identical.
+        import jax as _jax
+
+        self._flatten_models = _jax.jit(lambda a: a.reshape(a.shape[0], -1))
 
     @property
     def _step_arg(self) -> np.ndarray:
@@ -320,8 +327,9 @@ class BatchEngine:
         queues the fixed-size output copies without blocking on the device."""
         pts, seeds, tail, live = prepared
         out = self._encode_b(pts, seeds, self._step_arg, *tail)
+        # model_param rides the wire flat (see stage_downloads), not here.
         if self._dev_entropy:
-            _copy_async(out.stream_len, out.seq_len, out.model_param,
+            _copy_async(out.stream_len, out.seq_len,
                         out.salience, out.de_res_nw, out.de_res_counts,
                         out.de_res_states, out.de_res_freqs,
                         out.de_res_escapes, out.de_res_nesc, out.de_res_q0,
@@ -329,7 +337,7 @@ class BatchEngine:
                         out.de_cnt_freqs, out.exc_count)
         else:
             _copy_async(out.stream_len, out.seq_len, out.contour_packed,
-                        out.model_param, out.salience,
+                        out.salience,
                         out.exc_pos, out.exc_val, out.exc_count)
         return out, live
 
@@ -352,6 +360,7 @@ class BatchEngine:
         # runs, and this rig's download path is an e2e bottleneck.
         m_seq = _bucket(int(seq_len.max()) if seq_len.size else 1, self.hw)
         seq_dev = out.sequence[:, :m_seq]
+        models_dev = self._flatten_models(out.model_param)  # flat downlink
         if self._dev_entropy:
             # Device entropy: download compressed word prefixes instead of
             # the residual transfer view / contour plane (~30 KB/frame).
@@ -374,14 +383,14 @@ class BatchEngine:
                 cnt_freqs=out.de_cnt_freqs,
             )
             return _Staged(live, stream_len, seq_len, None, seq_dev,
-                           None, out.model_param, out.salience,
+                           None, models_dev, out.salience,
                            None, None, None,
                            out.stream, de)
         m_stream = _bucket(int(stream_len.max()) if stream_len.size else 1, self.hw)
         stream_dev = out.stream_i8[:, :m_stream]
         _copy_async(stream_dev, seq_dev)
         return _Staged(live, stream_len, seq_len, stream_dev, seq_dev,
-                       out.contour_packed, out.model_param, out.salience,
+                       out.contour_packed, models_dev, out.salience,
                        out.exc_pos, out.exc_val, np.asarray(out.exc_count),
                        out.stream)
 
@@ -414,6 +423,7 @@ class BatchEngine:
         seq = np.asarray(st.seq_dev)
         contour_packed = np.asarray(st.contour_dev)
         models = np.asarray(st.models_dev)
+        models = models.reshape(models.shape[0], -1, 4)  # flat wire -> (B, M, 4)
         salience = None if st.salience_dev is None else np.asarray(st.salience_dev)
 
         # With the device rANS coder, the dominant fields (residual stream,
@@ -475,6 +485,7 @@ class BatchEngine:
         de = st.de
         seq = np.asarray(st.seq_dev)
         models = np.asarray(st.models_dev)
+        models = models.reshape(models.shape[0], -1, 4)  # flat wire -> (B, M, 4)
         salience = None if st.salience_dev is None else np.asarray(st.salience_dev)
         rw = np.asarray(de["rw_dev"])
         cw = np.asarray(de["cw_dev"])
@@ -558,50 +569,63 @@ class BatchEngine:
         future resolving to (EncoderOutput, live_count)."""
         return self._uploader.submit(self.encode_batch_device, clouds, seeds)
 
-    def encode_pipeline(self, batches):
-        """4-deep, 4-thread pipelined encode over an iterable of (clouds,
-        seeds).
+    def _run_pipeline(self, inputs, prepare, dispatch, stage, finish):
+        """4-deep, 4-thread pipeline scaffold shared by encode and decode.
 
-        Yields one result list per input batch, in order.  Stage threads:
-        stacker (host-project batch k), uploader (wire transfer + dispatch
-        k-1), downloader (wait for k-2 on device, queue its async prefix
-        copies), main (entropy-code k-3 while k-2's copies stream).
-        Separating stack from upload matters on a 1-core host: the two used
-        to serialize on the uploader thread (~184 + ~342 ms/batch-64),
+        Yields one finished result per input, in order.  Stage threads:
+        stacker runs ``prepare`` on input k (CPU-bound), uploader runs
+        ``dispatch`` on k-1 (wire-bound host->device), downloader runs
+        ``stage`` on k-2 (device wait + async device->host copies), the
+        caller runs ``finish`` on k-3 while k-2's copies stream.
+        Separating prepare from dispatch matters on a 1-core host: the two
+        used to serialize on the uploader thread (~184 + ~342 ms/batch-64),
         capping throughput below the wire ceiling.
         """
         from collections import deque
 
-        prepared: deque = deque()  # futures -> prepared host arrays
-        dispatched: deque = deque()  # futures -> (out, live)
-        staged: deque = deque()  # futures -> _Staged
-        for clouds, seeds in batches:
-            prepared.append(self._stacker.submit(self._prepare_batch, clouds, seeds))
+        prepared: deque = deque()
+        dispatched: deque = deque()
+        staged: deque = deque()
+        for item in inputs:
+            prepared.append(self._stacker.submit(prepare, item))
             if len(prepared) >= 2:
                 fut = prepared.popleft()
                 dispatched.append(
-                    self._uploader.submit(lambda f=fut: self._dispatch_prepared(f.result()))
+                    self._uploader.submit(lambda f=fut: dispatch(f.result()))
                 )
             if len(dispatched) >= 2:
                 fut = dispatched.popleft()
                 staged.append(
-                    self._downloader.submit(lambda f=fut: self.stage_downloads(*f.result()))
+                    self._downloader.submit(lambda f=fut: stage(f.result()))
                 )
             if len(staged) >= 2:
-                yield self.finish_staged(staged.popleft().result())
+                yield finish(staged.popleft().result())
         # Drain: at most one batch sits in each upstream stage.
         while prepared:
             fut = prepared.popleft()
             dispatched.append(
-                self._uploader.submit(lambda f=fut: self._dispatch_prepared(f.result()))
+                self._uploader.submit(lambda f=fut: dispatch(f.result()))
             )
         while dispatched:
             fut = dispatched.popleft()
             staged.append(
-                self._downloader.submit(lambda f=fut: self.stage_downloads(*f.result()))
+                self._downloader.submit(lambda f=fut: stage(f.result()))
             )
         while staged:
-            yield self.finish_staged(staged.popleft().result())
+            yield finish(staged.popleft().result())
+
+    def encode_pipeline(self, batches):
+        """4-deep, 4-thread pipelined encode over an iterable of (clouds,
+        seeds): stacker host-projects batch k, uploader transfers +
+        dispatches k-1, downloader queues k-2's async prefix copies, the
+        caller entropy-codes k-3.  Yields one result list per batch."""
+        return self._run_pipeline(
+            batches,
+            lambda cs: self._prepare_batch(*cs),
+            self._dispatch_prepared,
+            lambda ol: self.stage_downloads(*ol),
+            self.finish_staged,
+        )
 
     def encode_frames(self, clouds: Sequence[np.ndarray], seeds=None):
         """Convenience: one synchronous batch -> list of .rpcc payloads."""
@@ -623,7 +647,8 @@ class BatchEngine:
         from rpcc_tpu.models.encoder import num_model_rows
 
         nm = num_model_rows(self.cfg)
-        contour = np.zeros((b, hw // 8), np.uint8)  # packed; device unpacks
+        # ceil(hw/8): the encoder packs whole bytes (pack_bits_msb)
+        contour = np.zeros((b, (hw + 7) // 8), np.uint8)  # device unpacks
         models = np.zeros((b, nm, 4), np.float32)
         sal = np.zeros((b, nm), np.uint8)
         seqs: List[Optional[np.ndarray]] = [None] * b
@@ -678,7 +703,10 @@ class BatchEngine:
         for i, q in enumerate(streams):
             if q is not None:
                 stream16[i, : q.shape[0]] = q
-        mask = np.abs(stream16.astype(np.int32)) > 127
+        # no int32 temp: a (B, m_stream) cast+abs walked ~32 MB per batch on
+        # the 1-core host; the two comparisons work on the int16 directly
+        # (and are immune to the int16 abs(-32768) pitfall the cast dodged)
+        mask = (stream16 > 127) | (stream16 < -127)
         n_exc_per = mask.sum(axis=1)
         if (n_exc_per <= EXC_CAP).all():
             stream8 = np.where(mask, np.int16(-128), stream16).astype(np.int8)
@@ -810,7 +838,7 @@ class BatchEngine:
         nm = num_model_rows(self.cfg)
         m_stream = _bucket(stream_len or self.hw, self.hw)
         m_seq = _bucket(seq_len or 1, self.hw)
-        contour = np.zeros((b, self.hw // 8), np.uint8)
+        contour = np.zeros((b, (self.hw + 7) // 8), np.uint8)
         seq = np.zeros((b, m_seq), np.uint16)
         seq[:, 0] = 1  # one full-image run of cluster id 1 (zero pixels)
         stream = np.zeros((b, m_stream), np.int16)
@@ -831,35 +859,10 @@ class BatchEngine:
         (mirror of ``encode_pipeline``): stacker entropy-decodes batch k,
         uploader transfers + dispatches k-1, downloader materializes k-2's
         range images, caller back-projects k-3."""
-        from collections import deque
-
-        prepared: deque = deque()  # futures -> prepared upload arrays
-        dispatched: deque = deque()  # futures -> (DecoderOutput, live)
-        staged: deque = deque()  # futures -> (ris, live)
-        for blobs in blob_batches:
-            prepared.append(self._stacker.submit(self._prepare_decode, blobs))
-            if len(prepared) >= 2:
-                fut = prepared.popleft()
-                dispatched.append(
-                    self._uploader.submit(lambda f=fut: self._dispatch_decode(f.result()))
-                )
-            if len(dispatched) >= 2:
-                fut = dispatched.popleft()
-                staged.append(
-                    self._downloader.submit(lambda f=fut: self._materialize_ris(*f.result()))
-                )
-            if len(staged) >= 2:
-                yield self._points_from_ris(*staged.popleft().result())
-        # Drain: at most one batch sits in each upstream stage.
-        while prepared:
-            fut = prepared.popleft()
-            dispatched.append(
-                self._uploader.submit(lambda f=fut: self._dispatch_decode(f.result()))
-            )
-        while dispatched:
-            fut = dispatched.popleft()
-            staged.append(
-                self._downloader.submit(lambda f=fut: self._materialize_ris(*f.result()))
-            )
-        while staged:
-            yield self._points_from_ris(*staged.popleft().result())
+        return self._run_pipeline(
+            blob_batches,
+            self._prepare_decode,
+            self._dispatch_decode,
+            lambda dl: self._materialize_ris(*dl),
+            lambda rl: self._points_from_ris(*rl),
+        )

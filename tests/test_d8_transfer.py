@@ -192,3 +192,26 @@ def test_decode_downlink_clamps_negative_reconstruction():
     assert float(np.asarray(out.range_image[0]).max()) < 0  # genuinely negative
     riq = np.asarray(out.range_u16[0])
     assert riq.max() == 0 and riq.min() == 0  # clamped, not wrapped to ~65535
+
+
+def test_single_frame_codec_matches_engine_content_u16():
+    """The single-frame RPCCCodec must quantize the same u16-snapped grid
+    as the BatchEngine for reduced transfer configs — previously it
+    silently ignored transfer_precision and emitted different bitstream
+    content for the identical config + cloud + seed."""
+    from rpcc_tpu.models.pipeline import RPCCCodec
+
+    cfg = CodecConfig(cluster_num=16, transfer_precision="u16")
+    engine = BatchEngine(SMALL, cfg, batch_size=1, workers=2)
+    pc = synth_scene(seed=3)
+    fields_e = engine.encode_frames([pc], seeds=[0])[0][1]
+    codec = RPCCCodec(SMALL, cfg)
+    _, fields_c, _ = codec.compress(pc, seed=0)
+    assert np.array_equal(
+        fields_e["residual_quantized"], fields_c["residual_quantized"]
+    )
+    assert np.array_equal(fields_e["contour_map"], fields_c["contour_map"])
+    assert np.array_equal(
+        np.asarray(fields_e["plane_param"], np.float32).reshape(-1, 4),
+        np.asarray(fields_c["plane_param"], np.float32).reshape(-1, 4),
+    )
