@@ -96,29 +96,28 @@ class BatchEngine:
         # occupancy plane + compact nonzero deltas (~27% fewer bytes than
         # 'i8' — the zero<->depth delta tails leave the exception list).
         self._m8 = cfg.transfer_precision == "m8"
-        # The decode downlink rides the u16 snap grid in both reduced modes;
-        # by default it ships as the i8 row-delta + exception view (the
-        # encode uplink's wire code built device-side, ~31% fewer bytes,
-        # byte-identical after the host's fused native reconstruction).
-        # ``d8_down=False`` keeps the raw (B, H, W) u16 download.
-        self._u16_down = cfg.transfer_precision in ("u16", "i8", "m8")
-        # ``m8_down`` ships the decode downlink as the masked-compact (m8)
-        # wire code instead — ~26% fewer bytes again on KITTI (the
-        # zero<->depth delta tails leave the wire entirely); explicit
-        # ``d8_down=True`` keeps the row-delta view, ``d8_down=False`` the
-        # raw u16 grid.
-        self._m8_down = (
-            (self._u16_down and d8_down is None)
-            if m8_down is None
-            else bool(m8_down)
-        )
-        self._d8_down = (
-            (self._u16_down and not self._m8_down)
-            if d8_down is None
-            else bool(d8_down)
-        )
-        if self._m8_down:
-            self._d8_down = False
+        # Decode DOWNLINK mode — ONE value: 'f32' raw range image, 'u16'
+        # snap grid, 'd8' i8 row-delta + exception view of the grid (~31%
+        # fewer bytes), 'm8' masked-compact wire code (~26% fewer again on
+        # KITTI; the default whenever the uplink rides a reduced mode).
+        # The d8_down/m8_down constructor knobs keep their r3 semantics for
+        # A/B work: m8_down=True/False forces/blocks the m8 view,
+        # d8_down=True forces the row-delta view, d8_down=False (with
+        # m8_down unset/False) keeps the raw u16 grid.
+        reduced = cfg.transfer_precision in ("u16", "i8", "m8")
+        m8_sel = (reduced and d8_down is None) if m8_down is None else bool(m8_down)
+        d8_sel = (reduced and not m8_sel) if d8_down is None else bool(d8_down)
+        if m8_sel:
+            self._downlink = "m8"
+        elif d8_sel:
+            self._downlink = "d8"
+        elif reduced:
+            self._downlink = "u16"
+        else:
+            self._downlink = "f32"
+        self._m8_down = self._downlink == "m8"
+        self._d8_down = self._downlink == "d8"
+        self._u16_down = self._downlink in ("u16", "d8", "m8")
         # Device entropy: the encoder graph also emits the rANS containers
         # for the residual/contour fields (cfg.device_entropy, rans only).
         self._dev_entropy = bool(cfg.device_entropy) and cfg.basic_compressor == "rans"
