@@ -662,6 +662,13 @@ def _compress_delta_batch_np(arrays: Sequence[np.ndarray], lanes: int | None = N
 def _parse_delta(blob: bytes):
     magic, log_lanes, T, n, q0 = struct.unpack_from("<BBHIi", blob, 0)
     off = 12
+    if (1 << log_lanes) > MAX_LANES:
+        # Encoders never emit more than MAX_LANES; a corrupt log_lanes
+        # would otherwise drive a multi-GB words allocation in the batch
+        # decoder before any other check fires.
+        raise ValueError(
+            f"corrupt delta container: lanes=2^{log_lanes} > {MAX_LANES}"
+        )
     lanes = 1 << log_lanes
     if n > lanes * T:
         # The decoders produce at most lanes*T symbols; a container

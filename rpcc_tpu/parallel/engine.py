@@ -371,7 +371,7 @@ class BatchEngine:
                            out.de_cnt_words.shape[1], quantum=2048)
             rw_dev = out.de_res_words[:, :m_rw]
             cw_dev = out.de_cnt_words[:, :m_cw]
-            _copy_async(seq_dev, rw_dev, cw_dev)
+            _copy_async(seq_dev, rw_dev, cw_dev, models_dev)
             de = dict(
                 res_nw=res_nw, cnt_nw=cnt_nw, rw_dev=rw_dev, cw_dev=cw_dev,
                 res_counts=out.de_res_counts, res_states=out.de_res_states,
@@ -387,7 +387,7 @@ class BatchEngine:
                            out.stream, de)
         m_stream = _bucket(int(stream_len.max()) if stream_len.size else 1, self.hw)
         stream_dev = out.stream_i8[:, :m_stream]
-        _copy_async(stream_dev, seq_dev)
+        _copy_async(stream_dev, seq_dev, models_dev)
         return _Staged(live, stream_len, seq_len, stream_dev, seq_dev,
                        out.contour_packed, models_dev, out.salience,
                        out.exc_pos, out.exc_val, np.asarray(out.exc_count),

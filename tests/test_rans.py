@@ -345,3 +345,22 @@ def test_corrupt_container_headers_raise():
     if rn.fused_available():
         with pytest.raises(ValueError, match="exceeds lanes"):
             rn.delta_encode_frames([np.zeros(1000, np.int16)], 2, 4, 512, 4)
+
+
+def test_corrupt_lane_count_raises():
+    """A corrupt log_lanes (beyond MAX_LANES) must raise at parse time —
+    it would otherwise drive a multi-GB words allocation in the batch
+    decoder before any other validation fires."""
+    import struct
+
+    import pytest
+
+    from rpcc_tpu.codec import rans_codec as rc
+
+    data = np.cumsum(np.random.default_rng(4).integers(-3, 4, 40000)).astype(np.int16)
+    blob = rc.compress_delta_batch([data])[0]
+    assert blob[0] in (rc.MAGIC_CTX, rc.MAGIC_DELTA)
+    buf = bytearray(blob)
+    struct.pack_into("<B", buf, 1, 16)  # log_lanes := 16 -> 65536 lanes
+    with pytest.raises(ValueError, match="corrupt delta container: lanes"):
+        rc.decompress_delta_batch([bytes(buf)])
