@@ -37,17 +37,19 @@ def add_codec_args(parser: argparse.ArgumentParser, datalist: bool = False) -> N
             "--keep_going", action="store_true",
             help="failure isolation: log per-frame errors and continue.",
         )
-        parser.add_argument(
-            "--transfer_precision", choices=("f32", "u16", "i8", "m8"), default=None,
-            help="u16 halves host<->device bytes (<= accuracy/16 extra error).",
-        )
-        parser.add_argument(
-            "--device_entropy", action="store_true",
-            help="rANS-code residual/contour ON device (rans coder only).",
-        )
     else:
         parser.add_argument("--input", help="single frame input for static compression.")
         parser.add_argument("--output", help="output bitstream.")
+    parser.add_argument(
+        "--transfer_precision", choices=("f32", "u16", "i8", "m8"), default=None,
+        help="host<->device wire code for the range image (default m8 — the "
+        "benched flagship; 'f32' uploads exact depths, no snap grid).",
+    )
+    parser.add_argument(
+        "--device_entropy", action=argparse.BooleanOptionalAction, default=None,
+        help="rANS-code residual/contour ON device (rans coder only; "
+        "default on — --no-device_entropy disables).",
+    )
     parser.add_argument("--lidar", help="lidar type of this point cloud collection.")
     parser.add_argument(
         "--channel_distribute_csv", default=None,
@@ -105,8 +107,8 @@ def config_from_args(args: argparse.Namespace) -> CodecConfig:
         cfg = cfg.replace(cpu_fps=True)
     if getattr(args, "transfer_precision", None):
         cfg = cfg.replace(transfer_precision=args.transfer_precision)
-    if getattr(args, "device_entropy", False):
-        cfg = cfg.replace(device_entropy=True)
+    if getattr(args, "device_entropy", None) is not None:
+        cfg = cfg.replace(device_entropy=bool(args.device_entropy))
     return cfg
 
 

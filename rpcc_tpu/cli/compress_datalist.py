@@ -93,10 +93,12 @@ def main() -> None:
     errors = 0
     if args.output or args.eval:
         # Diagnostic path: per-batch reports need the device range image.
-        pending = None  # (future -> (device handle, live), names, failed set)
+        pending = None  # (future -> (device handle, live), names, failed, load_s)
         for start in range(0, n, args.batch):
             names = file_list[start : start + args.batch]
+            t_l = time.time()
             clouds = list(io_pool.map(load, range(start, min(start + args.batch, n))))
+            load_s = time.time() - t_l
             # loads for this batch are complete here, so the snapshot is exact
             batch_failed = {i - start for i in failed_loads
                             if start <= i < start + len(clouds)}
@@ -104,13 +106,13 @@ def main() -> None:
             fut = engine.encode_batch_async(clouds, seeds)
             if pending is not None:
                 out, live = pending[0].result()
-                d, e = _drain((out, live, pending[1], pending[2]), engine, args)
+                d, e = _drain((out, live, *pending[1:]), engine, args)
                 done += d
                 errors += e
-            pending = (fut, names, batch_failed)
+            pending = (fut, names, batch_failed, load_s)
         if pending is not None:
             out, live = pending[0].result()
-            d, e = _drain((out, live, pending[1], pending[2]), engine, args)
+            d, e = _drain((out, live, *pending[1:]), engine, args)
             done += d
             errors += e
     else:
@@ -150,10 +152,13 @@ def _drain(pending, engine, args):
     """-> (written, errors) for one finished batch."""
     import numpy as np
 
-    out, live, names, batch_failed = pending
+    out, live, names, batch_failed, load_s = pending
     errors = 0
     written = 0
+    t_f = time.time()
     results = engine.finalize_encoded(out, live)
+    entropy_s = time.time() - t_f
+    t_w = time.time()
     blobs = []
     kept = []  # batch indices whose write succeeded, aligned with blobs
     for i, ((blob, fields), name) in enumerate(zip(results, names)):
@@ -181,12 +186,32 @@ def _drain(pending, engine, args):
             errors += 1
             print(f"ERROR writing output for {name}: {e}")
 
+    if args.output and live:
+        # Per-frame host-stage wall clock (reference tools/
+        # compress_datalist.py:149-158 prints per-stage timers; our
+        # segment/model/predict/quantize stages are ONE fused XLA graph, so
+        # the meaningful host stages of the batch path are reported
+        # instead — device-graph stage timing comes from --profile on the
+        # single-frame CLI).
+        write_s = time.time() - t_w
+        per = 1000.0 / live
+        print(
+            f"Time cost (per frame, batch of {live}): "
+            f"load {load_s * per:.2f} ms | "
+            f"entropy+download {entropy_s * per:.2f} ms | "
+            f"write {write_s * per:.2f} ms"
+        )
+
     if args.eval and blobs:
         # Per-frame reconstruction quality (reference --output --eval path,
-        # tools/compress_datalist.py:163-199): decode the batch we just
-        # wrote and report depth error + chamfer distance + F1 per frame,
-        # matching the reference's per-frame eval report.
-        from rpcc_tpu.metrics import calc_chamfer_distance
+        # tools/compress_datalist.py:163-200): decode the batch we just
+        # wrote and report depth error (mean+max) + chamfer distance + F1 +
+        # point-to-point / point-to-plane PSNR per frame, matching the
+        # reference's per-frame eval report field for field.
+        from rpcc_tpu.metrics import (
+            calc_chamfer_distance,
+            calc_point_to_point_plane_psnr,
+        )
         from rpcc_tpu.ops.projection import build_transform_map
 
         tm = build_transform_map(engine.lidar)
@@ -202,15 +227,22 @@ def _drain(pending, engine, args):
         # shift every later frame's report onto the wrong name/range image.
         for dec, i in zip(decoded, kept):
             rec_ri = np.linalg.norm(dec, axis=-1)
-            err = float(np.abs(rec_ri - ris[i]).max())
+            dif = np.abs(rec_ri - ris[i])
+            err = float(dif.max())
             status = "OK" if err <= bound + 1e-5 else "RECONSTRUCTION ERROR"
             orig_pc = ris[i][..., None] * tm
             cd = calc_chamfer_distance(
                 orig_pc.reshape(-1, 3), dec.reshape(-1, 3), out=False
             )
+            p2p, p2pl = calc_point_to_point_plane_psnr(
+                orig_pc.reshape(-1, 3), dec.reshape(-1, 3), out=False
+            )
             print(
-                f"eval {names[i]}: max depth error {err:.5f} (bound {bound:.5f}) "
-                f"chamfer {cd['mean']:.6f} F1 {cd['f_score']:.4f} {status}"
+                f"eval {names[i]}: depth error mean {float(dif.mean()):.6f} "
+                f"max {err:.5f} (bound {bound:.5f}) "
+                f"chamfer {cd['mean']:.6f} F1 {cd['f_score']:.4f} "
+                f"p2p_psnr {p2p['psnr_mean']:.2f} "
+                f"p2plane_psnr {p2pl['psnr_mean']:.2f} {status}"
             )
     return written, errors
 

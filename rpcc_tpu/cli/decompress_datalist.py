@@ -44,10 +44,11 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     add_codec_args(parser, datalist=True)
     parser.add_argument(
-        "--decode_backend", choices=("device", "host"), default="device",
-        help="device: jitted TPU decode graph (scales over the mesh); "
-        "host: fused native C++ reconstruction (no device roundtrip — "
-        "the wire-bound direction on tunneled rigs)",
+        "--decode_backend", choices=("device", "host"), default="host",
+        help="host (default): fused native C++ reconstruction — the "
+        "production decode path on single-host rigs (decode is wire-bound, "
+        "not compute-bound); device: jitted TPU decode graph (scales over "
+        "the mesh)",
     )
     args = parser.parse_args()
     print_args(args)

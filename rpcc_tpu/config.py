@@ -140,14 +140,19 @@ class CodecConfig:
     # error), 'i8' row-delta over the u16 grid + exception list (~30% fewer
     # bytes again, bit-identical bitstream to 'u16'), 'm8' packed nonzero
     # mask + compact nonzero deltas (~27% fewer bytes than 'i8', still
-    # bit-identical — zero pixels never ride the wire).
-    transfer_precision: str = "f32"  # 'f32' | 'u16' | 'i8' | 'm8'
+    # bit-identical — zero pixels never ride the wire).  The default IS the
+    # benched flagship ('m8'): the documented bare-flag CLI must run the
+    # headline config.  Pass 'f32' for exact-depth uploads (no snap grid,
+    # reconstruction error bound excludes the <= delta/2 snap term).
+    transfer_precision: str = "m8"  # 'f32' | 'u16' | 'i8' | 'm8'
     # Entropy-code the two big fields (residual stream, contour plane) ON
     # DEVICE (ops/rans_device.py): the engine then downloads ~30 KB of
     # compressed words per frame instead of the ~200 KB transfer view, and
     # skips the host entropy encode.  Containers are decoded by the same
-    # host decoders ('rans' coder only; engine path).
-    device_entropy: bool = False
+    # host decoders ('rans' coder only; engine path).  Default on — part of
+    # the benched flagship config; ignored by non-rans coders and by the
+    # single-frame encoder (which entropy-codes on host either way).
+    device_entropy: bool = True
 
     def __post_init__(self):
         # Enum-valued knobs fail loudly on typos: a misspelled
@@ -210,8 +215,8 @@ class CodecConfig:
             # promises field names map 1:1 to YAML keys).
             cpu_fps=bool(raw.get("cpu_fps", False)),
             seed=int(raw.get("seed", 0)),
-            transfer_precision=raw.get("transfer_precision", "f32"),
-            device_entropy=bool(raw.get("device_entropy", False)),
+            transfer_precision=raw.get("transfer_precision", "m8"),
+            device_entropy=bool(raw.get("device_entropy", True)),
         )
         kwargs.update({k: v for k, v in overrides.items() if v is not None})
         return cls(**kwargs)

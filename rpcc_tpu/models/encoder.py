@@ -139,8 +139,8 @@ def build_encode_fn(
     bitstreams (cfg.transfer_precision='i8').
 
     With ``ri_m8=True`` the signature becomes ``encode(maskp (ceil(hw/8),)
-    u8, seed, step, delta (), d8c (M,) i8, exc_pd (m,) u16, exc_val (m,)
-    u16, n_exc (), n_nz ())``: the host ships a packed nonzero-occupancy
+    u8, seed, step, delta (), exc_pd (m,) u16, exc_val (m,) u16, n_exc (),
+    d8c (M,) i8, n_nz ())``: the host ships a packed nonzero-occupancy
     bit plane plus compact first-differences over consecutive nonzero
     pixels (ops/projection.py::project_points_host_m8).  Zero pixels never
     ride the wire and the zero<->depth delta tails vanish from the

@@ -105,7 +105,23 @@ class BatchEngine:
         # d8_down=True forces the row-delta view, d8_down=False (with
         # m8_down unset/False) keeps the raw u16 grid.
         reduced = cfg.transfer_precision in ("u16", "i8", "m8")
-        m8_sel = (reduced and d8_down is None) if m8_down is None else bool(m8_down)
+        if not reduced and (m8_down or d8_down):
+            # The f32 decoder graph never emits the m8/d8 downlink fields —
+            # a forced reduced downlink would crash at first decode
+            # (np.asarray(None)) instead of failing here at construction.
+            raise ValueError(
+                "m8_down/d8_down require transfer_precision in "
+                "('u16', 'i8', 'm8'); the f32 decoder has no reduced downlink"
+            )
+        # The in-graph m8 mask build packs whole bytes (pack_bits_msb asserts
+        # hw % 8 == 0) — geometries with a ragged bit plane take the d8
+        # row-delta downlink instead, mirroring project_points_host_m8's gate.
+        m8_ok = (self.hw % 8) == 0
+        m8_sel = (
+            (reduced and m8_ok and d8_down is None)
+            if m8_down is None
+            else bool(m8_down)
+        )
         d8_sel = (reduced and not m8_sel) if d8_down is None else bool(d8_down)
         if m8_sel:
             self._downlink = "m8"

@@ -126,8 +126,9 @@ def test_datalist_cli_roundtrip(frame_bin, tmp_path, monkeypatch):
 
 
 def test_datalist_eval_reports_chamfer(frame_bin, tmp_path, monkeypatch, capsys):
-    """--output --eval prints per-frame depth error + chamfer + F1
-    (reference tools/compress_datalist.py:163-199 parity)."""
+    """--output --eval prints per-frame depth error (mean+max) + chamfer +
+    F1 + p2p/p2plane PSNR and the per-frame host stage timers (reference
+    tools/compress_datalist.py:149-200 parity)."""
     from rpcc_tpu.cli import compress_datalist
 
     datalist = tmp_path / "list.txt"
@@ -141,8 +142,10 @@ def test_datalist_eval_reports_chamfer(frame_bin, tmp_path, monkeypatch, capsys)
         monkeypatch,
     )
     outp = capsys.readouterr().out
-    assert "max depth error" in outp
+    assert "depth error mean" in outp and "max" in outp
     assert "chamfer" in outp and "F1" in outp and "OK" in outp
+    assert "p2p_psnr" in outp and "p2plane_psnr" in outp
+    assert "Time cost (per frame" in outp and "entropy+download" in outp
 
 
 def test_csv_lidar_cli_roundtrip(tmp_path, monkeypatch):

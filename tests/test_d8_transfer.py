@@ -201,7 +201,9 @@ def test_single_frame_codec_matches_engine_content_u16():
     content for the identical config + cloud + seed."""
     from rpcc_tpu.models.pipeline import RPCCCodec
 
-    cfg = CodecConfig(cluster_num=16, transfer_precision="u16")
+    # device_entropy=False: the comparison needs the engine's host-visible
+    # residual/contour fields (the device-entropy path never downloads them)
+    cfg = CodecConfig(cluster_num=16, transfer_precision="u16", device_entropy=False)
     engine = BatchEngine(SMALL, cfg, batch_size=1, workers=2)
     pc = synth_scene(seed=3)
     fields_e = engine.encode_frames([pc], seeds=[0])[0][1]

@@ -39,6 +39,32 @@ def test_engine_sharded_roundtrip_over_mesh():
     assert len(dec16) == 8
 
 
+def test_engine_mesh_blobs_byte_identical_to_single_device():
+    """THE multi-chip correctness property this rig can prove (SURVEY §2.3):
+    the same frames encoded on an 8-device mesh produce byte-identical
+    .rpcc blobs to a 1-device (meshless) engine run, under the flagship
+    default config (m8 transfer + device entropy) — and the native host
+    decoder reconstructs both to the same floats."""
+    mesh = data_mesh(8)
+    cfg = CodecConfig(cluster_num=16)  # shipped flagship defaults
+    assert cfg.transfer_precision == "m8" and cfg.device_entropy
+    clouds = [synth_scene(seed=s) for s in range(8)]
+    e_mesh = BatchEngine(SMALL, cfg, batch_size=8, mesh=mesh, workers=2)
+    e_one = BatchEngine(SMALL, cfg, batch_size=8, workers=2)
+    blobs_mesh = [b for b, _ in e_mesh.encode_frames(clouds, seeds=range(8))]
+    blobs_one = [b for b, _ in e_one.encode_frames(clouds, seeds=range(8))]
+    assert blobs_mesh == blobs_one, (
+        "mesh-sharded encode must be byte-identical to the single-device run"
+    )
+
+    from rpcc_tpu.models.host_decoder import HostDecoder
+
+    hd = HostDecoder(SMALL, cfg)
+    ris_mesh = hd.decode_blobs(blobs_mesh)
+    ris_one = hd.decode_blobs(blobs_one)
+    np.testing.assert_array_equal(np.asarray(ris_mesh), np.asarray(ris_one))
+
+
 def test_engine_sharded_stats_psum():
     """psum metric aggregation over the mesh matches the host-side sums
     and every batched encoder output is batch-sharded (not replicated)."""
@@ -71,8 +97,8 @@ def test_engine_device_entropy_roundtrip_and_rate():
     device; blobs must decode exactly like host-coded ones and the rate must
     match the host coder within a fraction of a percent (identical models,
     live-aware lanes)."""
-    cfg_dev = CodecConfig(cluster_num=16, device_entropy=True)
-    cfg_host = CodecConfig(cluster_num=16)
+    cfg_dev = CodecConfig(cluster_num=16, transfer_precision="f32", device_entropy=True)
+    cfg_host = CodecConfig(cluster_num=16, transfer_precision="f32", device_entropy=False)
     e_dev = BatchEngine(SMALL, cfg_dev, batch_size=4, workers=2)
     e_host = BatchEngine(SMALL, cfg_host, batch_size=4, workers=2)
     clouds = [synth_scene(seed=s) for s in range(4)]
@@ -136,7 +162,8 @@ def test_engine_u16_transfer_mode_bounds_and_roundtrip():
     must stay within accuracy + delta/2 of the TRUE (f32) range image, and
     the pipeline/decode paths must work unchanged."""
     cfg16 = CodecConfig(cluster_num=16, transfer_precision="u16")
-    cfg32 = CodecConfig(cluster_num=16)
+    # f32 reference engine: ri_true below must be the TRUE (unsnapped) grid
+    cfg32 = CodecConfig(cluster_num=16, transfer_precision="f32")
     e16 = BatchEngine(SMALL, cfg16, batch_size=4, workers=2)
     e32 = BatchEngine(SMALL, cfg32, batch_size=4, workers=2)
     clouds = [synth_scene(seed=s) for s in range(4)]
@@ -166,7 +193,10 @@ def test_engine_i8_transfer_exceptions_and_fallback():
     full-download fallback (exc_count > EXC_CAP on noise-like content)."""
     from rpcc_tpu.models.encoder import EXC_CAP
 
-    cfg = CodecConfig(cluster_num=16)
+    # f32/host-entropy: this test pokes the i8 residual-stream DOWNLINK view
+    # (stage_downloads' stream_dev), which the device-entropy path replaces
+    # with in-graph rANS containers.
+    cfg = CodecConfig(cluster_num=16, transfer_precision="f32", device_entropy=False)
     engine = BatchEngine(SMALL, cfg, batch_size=2, workers=2)
     rng = np.random.default_rng(7)
 

@@ -28,7 +28,11 @@ def codec_and_frame():
     from rpcc_tpu.data.pointcloud_io import load_point_cloud
 
     lidar = LidarConfig.from_yaml(__lidar_cfg__["Velodyne64E"], name="Velodyne64E")
-    cfg = CodecConfig()  # uniform, point, FPS, bzip2, accuracy 0.02
+    # The f32 goldens pin their exact config: the shipped default flipped to
+    # the benched flagship (m8 transfer) in r4, which snaps depths to the
+    # u16 grid before quantizing — a different (pinned separately below),
+    # equally deterministic bitstream.
+    cfg = CodecConfig(transfer_precision="f32", device_entropy=False)
     return RPCCCodec(lidar, cfg), load_point_cloud(EXAMPLE)
 
 
@@ -66,6 +70,13 @@ GOLDEN_BPP = 2.8087
 GOLDEN_SHA = "5892614a2d78c5fe97cc24967b1e58541667f97d0b6c1fbc706adbee5608a07e"
 GOLDEN_BZIP2_BPP = 3.0952
 GOLDEN_BZIP2_SHA = "146cd8ff37c8d94e2bb988fb3ca5c14689423a6ff59d5b9c2a7645aa4b4142d3"
+#  - 2026-08-18 r4: the DEFAULT config is now the benched flagship
+#    (transfer_precision='m8', device_entropy=True).  Its bitstream is the
+#    u16-snap-grid operating point (bit-identical across u16/i8/m8 and
+#    across the single-frame/engine/mesh paths — test_m8_transfer.py,
+#    test_engine.py), pinned here on the same KITTI frame.
+GOLDEN_FLAGSHIP_BPP = 2.8082
+GOLDEN_FLAGSHIP_SHA = "da42ed69ef07d5f8f25c71f90ff21c09c28721d58aef3bae2fab4d58be4d13e4"
 
 
 def test_kitti_example_operating_point(codec_and_frame):
@@ -93,12 +104,41 @@ def test_kitti_example_bzip2_operating_point(codec_and_frame):
     from rpcc_tpu.data import __lidar_cfg__ as _cfgs
 
     lidar = LidarConfig.from_yaml(_cfgs["Velodyne64E"], name="Velodyne64E")
-    codec = RPCCCodec(lidar, CodecConfig(basic_compressor="bzip2"))
+    codec = RPCCCodec(
+        lidar,
+        CodecConfig(
+            basic_compressor="bzip2", transfer_precision="f32", device_entropy=False
+        ),
+    )
     blob, _, _ = codec.compress(pc)
     ri = np.asarray(codec.encode_device(pc).range_image)
     bpp = len(blob) * 8 / int((ri > 0).sum())
     assert abs(bpp - GOLDEN_BZIP2_BPP) / GOLDEN_BZIP2_BPP < 0.05
     assert hashlib.sha256(blob).hexdigest() == GOLDEN_BZIP2_SHA
+
+
+def test_kitti_example_flagship_default_operating_point(codec_and_frame):
+    """The bare CodecConfig() — what a user gets — is the benched flagship
+    (m8 transfer + device entropy) and its bitstream is pinned."""
+    _, pc = codec_and_frame
+    cfg = CodecConfig()
+    assert cfg.transfer_precision == "m8" and cfg.device_entropy, (
+        "shipped defaults must be the benched flagship config"
+    )
+    lidar = LidarConfig.from_yaml(__lidar_cfg__["Velodyne64E"], name="Velodyne64E")
+    codec = RPCCCodec(lidar, cfg)
+    blob, _, _ = codec.compress(pc)
+    ri = np.asarray(codec.encode_device(pc).range_image)
+    n_pts = int((ri > 0).sum())
+    bpp = len(blob) * 8 / n_pts
+    assert abs(bpp - GOLDEN_FLAGSHIP_BPP) / GOLDEN_FLAGSHIP_BPP < 0.05
+    assert hashlib.sha256(blob).hexdigest() == GOLDEN_FLAGSHIP_SHA
+
+    pc_rec, ri_rec, _ = codec.decompress(blob)
+    err = np.abs(ri_rec - ri)
+    # reduced-transfer bound: quantization step + half the u16 snap grid
+    assert err.max() <= codec.cfg.step + codec.cfg.step / 16.0 / 2.0 + 1e-5
+    assert (ri_rec[ri == 0] == 0).all()
 
 
 def test_kitti_example_bitstream_deterministic(codec_and_frame):

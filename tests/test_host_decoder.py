@@ -10,10 +10,15 @@ from rpcc_tpu.parallel import BatchEngine
 from tests.test_roundtrip import SMALL, synth_scene
 
 
+# f32 transfer: the 1e-3 host-vs-device agreement below needs the exact f32
+# decode downlink (the default m8 downlink re-snaps the reconstruction to a
+# u16 grid, adding <= delta/2 — covered by test_m8_down.py instead).
 CONFIGS = [
-    CodecConfig(cluster_num=16),
-    CodecConfig(cluster_num=16, modeling_method="plane"),
-    CodecConfig(cluster_num=16, compress_framework="non-uniform"),
+    CodecConfig(cluster_num=16, transfer_precision="f32"),
+    CodecConfig(cluster_num=16, transfer_precision="f32", modeling_method="plane"),
+    CodecConfig(
+        cluster_num=16, transfer_precision="f32", compress_framework="non-uniform"
+    ),
 ]
 
 
