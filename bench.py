@@ -2,20 +2,29 @@
 
 Emits one JSON line per configuration (flushed as each completes) and
 re-prints the headline line (config 1: uniform/point/FPS, default entropy
-coder) LAST so drivers that parse the final line get the headline metric.
+coder) LAST, carrying an ``all`` dict with EVERY metric's value — so a
+driver that captures only the last line (or a byte-bounded tail) still
+records the full matrix (round 3 physically lost the decode-device lines
+to tail truncation).
 
-Round-3 lines:
+Round-4 lines:
   1. kitti64e_e2e_encode_*        — config 1 e2e across transfer modes
-     (u16 / i8 / m8+device-entropy flagship), device-only fps, bpp (rans)
-     + reference-parity bzip2 bpp, max-depth-error guardrail
-  2. kitti64e_e2e_decode_*        — device decode e2e (u16 downlink) and
-     the native host decoder (wire-free direction)
+     (m8+device-entropy flagship = the SHIPPED DEFAULT since r4, plus
+     i8/u16 continuity lines), device-only fps, bpp (rans) + reference-
+     parity bzip2 bpp, max-depth-error guardrail
+  2. kitti64e_e2e_decode_*        — device decode e2e (m8 downlink,
+     median of >= 3 windows) and the native host decoder
   3. kitti64e_plane / nonuniform / dbscan — e2e + device fps + bpp per
-     BASELINE config (DBSCAN segment method included)
-  4. velodyne32e / vlp16          — multi-LiDAR geometries, 32E e2e
-     exercises the uneven-CSV channel table end-to-end
-  5. kitti64e_datalist_e2e        — datalist pipeline incl. disk IO
-     (prefetcher + lean loader + flagship engine)
+     BASELINE config, all on the m8 flagship uplink as of r4 (the A/B
+     showed m8 > i8 6/7 paired windows)
+  4. velodyne32e / vlp16          — multi-LiDAR geometries; 32E e2e
+     exercises the uneven-CSV channel table end-to-end on the m8 uplink
+  5. kitti64e_datalist_e2e        — datalist pipeline incl. disk IO,
+     INSTRUMENTED: measured wire MB/s (16 MiB probes bracketing the run),
+     bytes-on-wire per frame, and per-stage host-CPU ms/frame — so a
+     below-bar number is attributable to tunnel bandwidth vs host code.
+  6. kitti64e_datalist_decode_*   — datalist DECODE throughput over the
+     same 768 files (host-native and device backends), incl. .bin writes.
 
 HEADLINE POLICY (VERDICT r2 #3): the parsed ``value`` is the MEDIAN of
 >= 3 sustained windows measured back-to-back at the end of the run; every
@@ -45,9 +54,13 @@ BATCH = 64  # amortizes per-call dispatch/roundtrip latency (A/B: +11-18% vs 32)
 BATCHES_TIMED = 6
 WALL_WINDOW_S = 30.0
 HEADLINE_WINDOWS = 3
+DECODE_WINDOWS = 3
+
+ALL: dict = {}  # metric -> value, re-emitted in the final summary line
 
 
 def emit(obj) -> None:
+    ALL[obj["metric"]] = obj["value"]
     print(json.dumps(obj), flush=True)
 
 
@@ -77,6 +90,55 @@ def _device_args(engine, clouds):
         clouds, seeds=range(engine.batch_size)
     )
     return tuple(jax.device_put(a) for a in (pts, seeds, engine._step_arg, *tail))
+
+
+def wire_probe(reps: int = 3):
+    """Measured tunnel throughput right now: (up_MB/s, down_MB/s), median of
+    ``reps`` 16 MiB flat-u8 transfers with distinct content each rep (since
+    r3 the tunnel does NOT cache repeated content, but keep them distinct so
+    this stays true if that changes back)."""
+    import jax
+
+    rng = np.random.default_rng(99)
+    base = rng.integers(0, 256, (1 << 24,), dtype=np.uint8)  # 16 MiB
+    ups, downs = [], []
+    for i in range(reps):
+        base[:4096] = i  # distinct content per rep, ~free
+        t0 = time.perf_counter()
+        d = jax.block_until_ready(jax.device_put(base))
+        ups.append(base.nbytes / (time.perf_counter() - t0) / 1e6)
+        t0 = time.perf_counter()
+        np.asarray(d)
+        downs.append(base.nbytes / (time.perf_counter() - t0) / 1e6)
+        del d
+    ups.sort()
+    downs.sort()
+    return ups[len(ups) // 2], downs[len(downs) // 2]
+
+
+def wire_bytes_per_frame(engine, clouds):
+    """Actual bytes-on-wire per frame for one batch through the engine:
+    (uplink B/frame, downlink B/frame).  Uplink = the stacked upload arrays;
+    downlink = every device view the finish stage materializes."""
+    prepared = engine._prepare_batch(clouds, seeds=range(len(clouds)))
+    pts, seeds, tail, live = prepared
+    up = pts.nbytes + seeds.nbytes + sum(np.asarray(a).nbytes for a in tail)
+    out, live = engine._dispatch_prepared(prepared)
+    st = engine.stage_downloads(out, live)
+    down = int(st.stream_len.nbytes + st.seq_len.nbytes)
+    for x in (st.stream_dev, st.seq_dev, st.contour_dev, st.models_dev,
+              st.salience_dev, st.exc_pos_dev, st.exc_val_dev):
+        if x is not None and hasattr(x, "nbytes"):
+            down += x.nbytes
+    if st.de is not None:
+        for k in ("rw_dev", "cw_dev", "res_counts", "res_states", "res_freqs",
+                  "res_escapes", "res_nesc", "res_q0", "res_nw",
+                  "cnt_counts", "cnt_states", "cnt_freqs", "cnt_nw"):
+            a = st.de.get(k)
+            if a is not None and hasattr(a, "nbytes"):
+                down += a.nbytes
+    engine.finish_staged(st)  # drain the queued copies cleanly
+    return up / live, down / live
 
 
 def bench_config(name, lidar, cfg, pc, n_chips, e2e=False, extra=None, batch=None):
@@ -142,8 +204,8 @@ def measure_e2e(engine, pc, n_chips: int) -> float:
     """Median steady-state pipelined encode rate over one wall window.
 
     Distinct per-batch content (pre-jittered variants) so no transfer
-    caching can flatter the numbers; 3-thread pipeline (upload k /
-    download k-1 / entropy k-2)."""
+    caching can flatter the numbers; 4-thread pipeline (stack k / upload
+    k-1 / download k-2 / entropy k-3)."""
     variants = _jittered_variants(pc, 8)
     t_start = time.perf_counter()
 
@@ -230,12 +292,15 @@ def main() -> None:
     variants = _jittered_variants(pc, 8)
 
     # ---- config 1 (headline): uniform / point / FPS / default coder (rans)
-    # flagship transfer mode: m8 (packed nonzero mask + compact i8 deltas)
-    # uplink + on-device rANS entropy.  A/B vs i8 on this rig (7 paired
-    # windows): m8 median 136 vs 129 fps e2e, uplink 8.36 vs 11.34
-    # MB/batch-64; m8 wins 6/7 pairs (wire-bound rig).  i8 keeps its own
-    # line below for cross-round comparability.
-    cfg_flag = CodecConfig(transfer_precision="m8", device_entropy=True)
+    # flagship transfer mode = the SHIPPED DEFAULT (r4): m8 (packed nonzero
+    # mask + compact i8 deltas) uplink + on-device rANS entropy.  A/B vs i8
+    # on this rig (7 paired windows): m8 median 136 vs 129 fps e2e, uplink
+    # 8.36 vs 11.34 MB/batch-64; m8 wins 6/7 pairs (wire-bound rig).  i8 and
+    # u16 keep their own lines below for cross-round comparability.
+    cfg_flag = CodecConfig()
+    assert cfg_flag.transfer_precision == "m8" and cfg_flag.device_entropy, (
+        "bench flagship must be the shipped default config"
+    )
     head, engine_flag, blob1, ri1 = bench_config(
         "kitti64e_e2e_encode_throughput_acc0.02_rans",
         lidar64, cfg_flag, pc, n_chips, e2e=True,
@@ -247,10 +312,10 @@ def main() -> None:
     from rpcc_tpu.codec.bitstream import pack_bitstream
     from rpcc_tpu.codec.entropy import BasicCompressor
 
-    cfg1 = CodecConfig()
+    cfg_host = CodecConfig(transfer_precision="f32", device_entropy=False)
     from rpcc_tpu.parallel import BatchEngine
 
-    eng_host = BatchEngine(lidar64, cfg1, batch_size=8, workers=8)
+    eng_host = BatchEngine(lidar64, cfg_host, batch_size=8, workers=8)
     fields_h = eng_host.encode_frames([pc], seeds=[0])[0][1]
     bz = BasicCompressor(method_name="bzip2")
     n_pts = max(int((ri1 > 0).sum()), 1)
@@ -259,36 +324,42 @@ def main() -> None:
     )
     emit(head)
 
-    # ---- i8 / u16 transfer modes (continuity with r1/r2 metric names)
+    # ---- i8 / u16 transfer modes (continuity with r1/r2/r3 metric names)
     line_i8, _, _, _ = bench_config(
         "kitti64e_e2e_encode_i8_transfer_acc0.02_rans",
-        lidar64, CodecConfig(transfer_precision="i8", device_entropy=True),
+        lidar64, CodecConfig(transfer_precision="i8"),
         pc, n_chips, e2e=True, extra={"transfer": "i8", "entropy": "device"},
     )
     emit(line_i8)
     line16, _, _, _ = bench_config(
         "kitti64e_e2e_encode_u16_transfer_acc0.02_rans",
-        lidar64, CodecConfig(transfer_precision="u16", device_entropy=True),
+        lidar64, CodecConfig(transfer_precision="u16"),
         pc, n_chips, e2e=True, extra={"transfer": "u16", "entropy": "device"},
     )
     emit(line16)
 
-    # ---- decode: device pipeline (i8 row-delta downlink — metric name
+    # ---- decode: device pipeline (m8 masked-compact downlink — metric name
     # keeps the r1/r2 "u16_transfer" label for cross-round comparability;
     # the downlink wire view is recorded in the "transfer" field) + native
-    # host decoder
+    # host decoder.  MEDIAN of >= 3 windows, all disclosed (same policy as
+    # the encode headline).
     dec_batches = _decode_batches(engine_flag, pc)
-    dec_dev = measure_decode(engine_flag, dec_batches, n_chips)
+    dec_windows = sorted(
+        measure_decode(engine_flag, dec_batches, n_chips)
+        for _ in range(DECODE_WINDOWS)
+    )
+    dec_dev = dec_windows[len(dec_windows) // 2]
     rec_ri = np.linalg.norm(engine_flag.decode_blobs([blob1])[0], axis=-1)
-    delta_dec = float(cfg1.step) / 16.0
+    delta_dec = float(cfg_flag.step) / 16.0
     emit(
         {
             "metric": "kitti64e_e2e_decode_u16_transfer_acc0.02_rans",
             "value": round(dec_dev, 3),
             "unit": "frames/s/chip",
             "vs_baseline": round(dec_dev / BASELINE_FPS, 3),
+            "windows": [round(w, 1) for w in dec_windows],
             "max_depth_err": round(float(np.abs(rec_ri - ri1).max()), 5),
-            "err_bound": round(cfg1.step + delta_dec / 2 + 1e-5, 5),
+            "err_bound": round(cfg_flag.step + delta_dec / 2 + 1e-5, 5),
             "transfer": "m8-up/m8-down",
             "chips": n_chips,
         }
@@ -311,36 +382,33 @@ def main() -> None:
             "unit": "frames/s (host, no device)",
             "vs_baseline": round(host_dec / BASELINE_FPS, 3),
             "max_depth_err": round(float(np.abs(ri_host - ri1).max()), 5),
-            "err_bound": round(cfg1.step + 1e-5, 5),
+            "err_bound": round(cfg_flag.step + 1e-5, 5),
             "backend": "host",
             "chips": 0,
         }
     )
 
-    # ---- config 2: plane modeling (e2e + device)
+    # ---- config 2: plane modeling (e2e + device) — m8 flagship uplink
     line, _, _, _ = bench_config(
         "kitti64e_plane_modeling_acc0.02", lidar64,
-        CodecConfig(modeling_method="plane", transfer_precision="i8",
-                    device_entropy=True),
-        pc, n_chips, e2e=True, extra={"transfer": "i8", "entropy": "device"},
+        CodecConfig(modeling_method="plane"),
+        pc, n_chips, e2e=True, extra={"transfer": "m8", "entropy": "device"},
     )
     emit(line)
 
     # ---- config 3: non-uniform (salience) quantization (e2e + device)
     line, _, _, _ = bench_config(
         "kitti64e_nonuniform_acc0.02", lidar64,
-        CodecConfig(compress_framework="non-uniform", transfer_precision="i8",
-                    device_entropy=True),
-        pc, n_chips, e2e=True, extra={"transfer": "i8", "entropy": "device"},
+        CodecConfig(compress_framework="non-uniform"),
+        pc, n_chips, e2e=True, extra={"transfer": "m8", "entropy": "device"},
     )
     emit(line)
 
     # ---- config 3b: DBSCAN segmentation (e2e + device)
     line, _, _, _ = bench_config(
         "kitti64e_dbscan_acc0.02", lidar64,
-        CodecConfig(segment_method="DBSCAN", transfer_precision="i8",
-                    device_entropy=True),
-        pc, n_chips, e2e=True, extra={"transfer": "i8", "entropy": "device",
+        CodecConfig(segment_method="DBSCAN"),
+        pc, n_chips, e2e=True, extra={"transfer": "m8", "entropy": "device",
                                       "segment": "DBSCAN"},
     )
     emit(line)
@@ -349,7 +417,8 @@ def main() -> None:
     # runs e2e WITH the example per-channel CSV (uneven vertical channels),
     # exercising the nearest-angle row table through the full
     # host-projection + device pipeline (the registry default is None,
-    # matching the reference's dataset/__init__.py:29-37)
+    # matching the reference's dataset/__init__.py:29-37).  Both ride the
+    # shipped m8 default as of r4.
     csv_32e = os.path.join(
         REPO, "rpcc_tpu/data/lidar_cfg",
         "example-Velodyne_HDL_32E_vertical_channel_distribution.csv",
@@ -362,15 +431,21 @@ def main() -> None:
         pcl = synth_cloud_for(lidar)
         line, _, _, _ = bench_config(
             f"{name.lower()}_uniform_acc0.02", lidar,
-            CodecConfig(transfer_precision="u16", device_entropy=True),
+            CodecConfig(),
             pcl, n_chips, e2e=e2e_on,
-            extra={"channels": "csv" if not lidar.even_dist else "even"},
+            extra={"channels": "csv" if not lidar.even_dist else "even",
+                   "transfer": "m8", "entropy": "device"},
         )
         emit(line)
 
-    # ---- config 5: datalist pipeline including disk IO + .rpcc writes
+    # ---- config 5: datalist pipeline including disk IO + .rpcc writes,
+    # INSTRUMENTED (VERDICT r3 #1): measured wire MB/s bracketing the run,
+    # bytes-on-wire per frame, per-stage host-CPU ms/frame — the line itself
+    # proves whether a below-bar number is tunnel bandwidth or host code.
     import tempfile
+    import threading
 
+    dl_line = None
     with tempfile.TemporaryDirectory() as td:
         files = []
         for i in range(BATCH * 12):  # amortize the 4-deep pipeline's fill+drain
@@ -383,6 +458,16 @@ def main() -> None:
         from rpcc_tpu.data.pointcloud_io import load_point_cloud_f32
         from rpcc_tpu.parallel import prefetch_loaded_batches
 
+        load_cpu = [0.0]
+        load_lock = threading.Lock()
+
+        def load_timed(i):
+            c0 = time.thread_time()
+            r = load_point_cloud_f32(files[i])
+            with load_lock:
+                load_cpu[0] += time.thread_time() - c0
+            return r
+
         # untimed warm pass: spins up the pipeline threads, output dirs and
         # page cache so rep 0 measures the pipeline, not process warm-up
         warm_gen = prefetch_loaded_batches(
@@ -392,27 +477,52 @@ def main() -> None:
             for (blob, _f), name in zip(results, files[:BATCH]):
                 with open(output_path_for(name, td + "/warm", "rpcc"), "wb") as f:
                     f.write(blob)
+        wire_up0, wire_down0 = wire_probe()
+        stats: dict = {}
+        write_cpu = 0.0
         dl_rates = []
         for rep in range(3):
             t0 = time.perf_counter()
             done = 0
             dl_gen = prefetch_loaded_batches(
-                files, BATCH, lambda i: load_point_cloud_f32(files[i]), workers=8,
-                depth=2,
+                files, BATCH, load_timed, workers=8, depth=2,
             )
             name_chunks = [files[s : s + BATCH] for s in range(0, len(files), BATCH)]
-            for chunk, results in zip(name_chunks, engine_flag.encode_pipeline(dl_gen)):
+            for chunk, results in zip(
+                name_chunks, engine_flag.encode_pipeline(dl_gen, stats=stats)
+            ):
+                c0 = time.thread_time()
                 for (blob, _f), name in zip(results, chunk):
                     with open(
-                        output_path_for(name, td + f"/out{rep}", "rpcc"), "wb"
+                        output_path_for(name, td + "/out", "rpcc"), "wb"
                     ) as f:
                         f.write(blob)
                     done += 1
+                write_cpu += time.thread_time() - c0
             dl_rates.append(done / (time.perf_counter() - t0) / n_chips)
-        dl_rates.sort()
-        dl_fps = dl_rates[len(dl_rates) // 2]
-    emit(
-        {
+        wire_up1, wire_down1 = wire_probe()
+        up_pf, down_pf = wire_bytes_per_frame(
+            engine_flag, [variants[i % len(variants)] for i in range(BATCH)]
+        )
+        wire_up = (wire_up0 + wire_up1) / 2
+        wire_down = (wire_down0 + wire_down1) / 2
+        n_frames = len(files) * 3  # 3 reps
+
+        def per_ms(seconds: float) -> float:
+            return round(seconds * 1000.0 / n_frames, 3)
+
+        host_ms = {
+            "load": per_ms(load_cpu[0]),
+            "project_stack": per_ms(stats.get("prepare_cpu_s", 0.0)),
+            "upload_dispatch": per_ms(stats.get("dispatch_cpu_s", 0.0)),
+            "download_stage": per_ms(stats.get("stage_cpu_s", 0.0)),
+            "entropy_finish": per_ms(stats.get("finish_cpu_s", 0.0)),
+            "write": per_ms(write_cpu),
+        }
+        host_ms["total"] = round(sum(host_ms.values()), 3)
+        dl_sorted = sorted(dl_rates)
+        dl_fps = dl_sorted[len(dl_sorted) // 2]
+        dl_line = {
             "metric": "kitti64e_datalist_e2e_acc0.02_rans",
             "value": round(dl_fps, 3),
             "unit": "frames/s/chip",
@@ -422,8 +532,97 @@ def main() -> None:
             "transfer": "m8",
             "entropy": "device",
             "chips": n_chips,
+            # the wire-vs-host evidence: if value ~= uplink_ceiling_fps the
+            # run is tunnel-bound; if host_cpu total ~= 1000/value ms it is
+            # host-bound.  Probes bracket the run (both disclosed).
+            "wire_up_mbps": round(wire_up, 1),
+            "wire_down_mbps": round(wire_down, 1),
+            "wire_probes_mbps": [round(wire_up0, 1), round(wire_up1, 1),
+                                 round(wire_down0, 1), round(wire_down1, 1)],
+            "up_kb_frame": round(up_pf / 1e3, 1),
+            "down_kb_frame": round(down_pf / 1e3, 1),
+            "uplink_ceiling_fps": round(wire_up * 1e6 / max(up_pf, 1.0), 1),
+            "wire_ceiling_fps": round(
+                1.0 / (up_pf / (wire_up * 1e6) + down_pf / (wire_down * 1e6)), 1
+            ),
+            "host_cpu_ms_frame": host_ms,
+            "dispatch_wall_ms_frame": per_ms(stats.get("dispatch_s", 0.0)),
         }
-    )
+        emit(dl_line)
+
+        # ---- config 5b: datalist DECODE over the same 768 .rpcc files
+        # (the reference's 4th entry point, tools/decompress_datalist.py),
+        # including the .bin writes.  Host-native backend (the shipped
+        # default) and the device pipeline.
+        rpcc_files = [output_path_for(n, td + "/out", "rpcc") for n in files]
+        rpcc_chunks = [
+            rpcc_files[s : s + BATCH] for s in range(0, len(rpcc_files), BATCH)
+        ]
+
+        def read_chunk(chunk):
+            out = []
+            for p in chunk:
+                with open(p, "rb") as f:
+                    out.append(f.read())
+            return out
+
+        hd_dl = HostDecoder(lidar64, cfg_flag)
+        hd_dl.decode_blobs_points(read_chunk(rpcc_chunks[0]))  # warm
+        host_rates = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            done = 0
+            for chunk in rpcc_chunks:
+                pts = hd_dl.decode_blobs_points(read_chunk(chunk))
+                for p, name in zip(pts, chunk):
+                    outp = output_path_for(name, td + "/dec_h", "bin")
+                    np.ascontiguousarray(p, "<f4").tofile(outp)
+                    done += 1
+            host_rates.append(done / (time.perf_counter() - t0))
+        host_rates.sort()
+        emit(
+            {
+                "metric": "kitti64e_datalist_decode_host_acc0.02_rans",
+                "value": round(host_rates[len(host_rates) // 2], 3),
+                "unit": "frames/s (host, no device)",
+                "vs_baseline": round(
+                    host_rates[len(host_rates) // 2] / BASELINE_FPS, 3
+                ),
+                "frames": len(files),
+                "windows": [round(r, 1) for r in host_rates],
+                "backend": "host",
+                "chips": 0,
+            }
+        )
+
+        # device-backend datalist decode: 4-deep decode pipeline + writes
+        engine_flag.decode_blobs(read_chunk(rpcc_chunks[0]))  # warm buckets
+        dev_rates = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            done = 0
+            gen = (read_chunk(c) for c in rpcc_chunks)
+            for chunk, pcs in zip(rpcc_chunks, engine_flag.decode_pipeline(gen)):
+                for p, name in zip(pcs, chunk):
+                    outp = output_path_for(name, td + "/dec_d", "bin")
+                    np.ascontiguousarray(p.reshape(-1, 3), "<f4").tofile(outp)
+                    done += 1
+            dev_rates.append(done / (time.perf_counter() - t0) / n_chips)
+        dev_rates.sort()
+        emit(
+            {
+                "metric": "kitti64e_datalist_decode_device_acc0.02_rans",
+                "value": round(dev_rates[len(dev_rates) // 2], 3),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(
+                    dev_rates[len(dev_rates) // 2] / BASELINE_FPS, 3
+                ),
+                "frames": len(files),
+                "windows": [round(r, 1) for r in dev_rates],
+                "transfer": "m8-up/m8-down",
+                "chips": n_chips,
+            }
+        )
 
     # Headline last: drivers that parse the final line get it.  MEDIAN of
     # >= 3 sustained windows, ALL measured back-to-back here at the end of
@@ -431,6 +630,9 @@ def main() -> None:
     # drifts tens of percent over minutes, so a median of same-regime
     # windows, not a best-of or a mix with the run-start figure, is the
     # defensible claim.  The run-start window stays as a named field.
+    # This final line ALSO carries the full metric matrix ("all") plus the
+    # datalist evidence, so a byte-bounded tail capture never loses a
+    # metric again (VERDICT r3 #3).
     head["first_config_window_fps"] = float(head["value"])
     windows = [measure_e2e(engine_flag, pc, n_chips) for _ in range(HEADLINE_WINDOWS)]
     ordered = sorted(windows)
@@ -439,7 +641,20 @@ def main() -> None:
     head["vs_baseline"] = round(med / BASELINE_FPS, 3)
     head["windows_fps"] = [round(w, 3) for w in windows]
     head["best_window_fps"] = round(ordered[-1], 3)
-    head["config"] = "device_entropy+m8"
+    head["config"] = "device_entropy+m8 (shipped default)"
+    ALL[head["metric"]] = head["value"]
+    head["all"] = dict(ALL)
+    if dl_line is not None:
+        head["datalist"] = {
+            "windows": dl_line["windows"],
+            "wire_up_mbps": dl_line["wire_up_mbps"],
+            "wire_down_mbps": dl_line["wire_down_mbps"],
+            "up_kb_frame": dl_line["up_kb_frame"],
+            "down_kb_frame": dl_line["down_kb_frame"],
+            "uplink_ceiling_fps": dl_line["uplink_ceiling_fps"],
+            "wire_ceiling_fps": dl_line["wire_ceiling_fps"],
+            "host_cpu_ms_frame": dl_line["host_cpu_ms_frame"],
+        }
     emit(head)
 
 

@@ -37,6 +37,25 @@ def _bucket(n: int, cap: int, quantum: int = 8192) -> int:
     return min(cap, max(quantum, -(-n // quantum) * quantum))
 
 
+def _timed_stage(fn, stats: dict, key: str, count: bool = False):
+    """Accumulate a pipeline stage's wall + thread-CPU seconds into stats."""
+    import time
+
+    def wrapped(*a):
+        t0 = time.perf_counter()
+        c0 = time.thread_time()
+        r = fn(*a)
+        stats[key + "_s"] = stats.get(key + "_s", 0.0) + time.perf_counter() - t0
+        stats[key + "_cpu_s"] = (
+            stats.get(key + "_cpu_s", 0.0) + time.thread_time() - c0
+        )
+        if count:
+            stats["batches"] = stats.get("batches", 0) + 1
+        return r
+
+    return wrapped
+
+
 def _copy_async(*arrays) -> None:
     """Queue device->host copies without blocking (jax.Array only)."""
     for a in arrays:
@@ -584,7 +603,7 @@ class BatchEngine:
         future resolving to (EncoderOutput, live_count)."""
         return self._uploader.submit(self.encode_batch_device, clouds, seeds)
 
-    def _run_pipeline(self, inputs, prepare, dispatch, stage, finish):
+    def _run_pipeline(self, inputs, prepare, dispatch, stage, finish, stats=None):
         """4-deep, 4-thread pipeline scaffold shared by encode and decode.
 
         Yields one finished result per input, in order.  Stage threads:
@@ -595,8 +614,21 @@ class BatchEngine:
         Separating prepare from dispatch matters on a 1-core host: the two
         used to serialize on the uploader thread (~184 + ~342 ms/batch-64),
         capping throughput below the wire ceiling.
+
+        ``stats`` (optional dict) accumulates per-stage cost across the run:
+        ``<stage>_s`` wall seconds (includes wire/device waits — dispatch
+        wall ~= uplink wire time) and ``<stage>_cpu_s`` thread-CPU seconds
+        (what the stage actually burns of the 1-core host), plus
+        ``batches``.  Each stage runs on its own dedicated thread, so
+        ``time.thread_time()`` deltas attribute CPU exactly.
         """
         from collections import deque
+
+        if stats is not None:
+            prepare = _timed_stage(prepare, stats, "prepare")
+            dispatch = _timed_stage(dispatch, stats, "dispatch")
+            stage = _timed_stage(stage, stats, "stage")
+            finish = _timed_stage(finish, stats, "finish", count=True)
 
         prepared: deque = deque()
         dispatched: deque = deque()
@@ -629,17 +661,20 @@ class BatchEngine:
         while staged:
             yield finish(staged.popleft().result())
 
-    def encode_pipeline(self, batches):
+    def encode_pipeline(self, batches, stats=None):
         """4-deep, 4-thread pipelined encode over an iterable of (clouds,
         seeds): stacker host-projects batch k, uploader transfers +
         dispatches k-1, downloader queues k-2's async prefix copies, the
-        caller entropy-codes k-3.  Yields one result list per batch."""
+        caller entropy-codes k-3.  Yields one result list per batch.
+        ``stats`` (optional dict) accumulates per-stage wall/CPU seconds —
+        see :meth:`_run_pipeline`."""
         return self._run_pipeline(
             batches,
             lambda cs: self._prepare_batch(*cs),
             self._dispatch_prepared,
             lambda ol: self.stage_downloads(*ol),
             self.finish_staged,
+            stats=stats,
         )
 
     def encode_frames(self, clouds: Sequence[np.ndarray], seeds=None):
@@ -869,7 +904,7 @@ class BatchEngine:
         dec, live = self.decode_blobs_device(blobs)
         return self._back_project(dec, live)
 
-    def decode_pipeline(self, blob_batches):
+    def decode_pipeline(self, blob_batches, stats=None):
         """4-deep, 4-thread pipelined decode over an iterable of blob lists
         (mirror of ``encode_pipeline``): stacker entropy-decodes batch k,
         uploader transfers + dispatches k-1, downloader materializes k-2's
@@ -880,4 +915,5 @@ class BatchEngine:
             self._dispatch_decode,
             lambda dl: self._materialize_ris(*dl),
             lambda rl: self._points_from_ris(*rl),
+            stats=stats,
         )
