@@ -66,10 +66,32 @@ def make_suite(pc: np.ndarray, n: int) -> list:
     return frames
 
 
+def chamfer_host(a: np.ndarray, b: np.ndarray, thr: float = 0.02) -> dict:
+    """Exact symmetric chamfer + F1 via cKDTree — same math as
+    metrics.chamfer.calc_chamfer_distance (strip zero-sum points, cd =
+    (mean NN dist each way)/2, F1 at ``thr``), but host-side: the device
+    chamfer jit is shape-keyed on the exact point counts, and this sweep's
+    ~hundreds of distinct (n, m) pairs would each be a remote XLA compile
+    on the tunneled rig."""
+    from scipy.spatial import cKDTree
+
+    a = a[np.sum(a, -1) != 0]
+    b = b[np.sum(b, -1) != 0]
+    d1 = cKDTree(b, balanced_tree=False).query(a, workers=-1)[0]
+    d2 = cKDTree(a, balanced_tree=False).query(b, workers=-1)[0]
+    precision = float((d2 < thr).mean())
+    recall = float((d1 < thr).mean())
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall > 0
+        else 0.0
+    )
+    return {"mean": (float(d1.mean()) + float(d2.mean())) / 2, "f_score": f1}
+
+
 def sweep_config(name, lidar, cfg, frames, results):
     from rpcc_tpu.codec.bitstream import pack_bitstream
     from rpcc_tpu.codec.entropy import BasicCompressor
-    from rpcc_tpu.metrics.chamfer import calc_chamfer_distance
     from rpcc_tpu.models.pipeline import RPCCCodec
 
     codec = RPCCCodec(lidar, cfg)
@@ -97,7 +119,7 @@ def sweep_config(name, lidar, cfg, frames, results):
             max_err = float(np.abs(ri_rec - ri).max())
             grid_pc = (ri[..., None] * codec.transform_map)[ri > 0]
             rec_pc = pc_rec[ri_rec > 0]
-            res = calc_chamfer_distance(grid_pc, rec_pc.reshape(-1, 3), out=False)
+            res = chamfer_host(grid_pc, rec_pc.reshape(-1, 3))
             rows.append(
                 {
                     "frame": i,

@@ -197,8 +197,24 @@ class BatchEngine:
         # ms/batch-64 on this tunnel); bytes are row-major so the host
         # reshape is free and byte-identical.
         import jax as _jax
+        import jax.numpy as _jnp
 
         self._flatten_models = _jax.jit(lambda a: a.reshape(a.shape[0], -1))
+        # idx_sequence wire code: run ids are < num_models, so whenever the
+        # model table fits a byte the sequence rides the wire as u8 — half
+        # the bytes of the u16 field in BOTH directions (the seq downlink
+        # was the single largest encode-downlink item, 32.8 KB/frame vs the
+        # ~13 KB live payload on KITTI).  The cast runs on device (tiny
+        # standalone jit — the big encoder/decoder programs stay cached);
+        # hosts restore exact u16 (values < 256 are lossless).  The decode
+        # uplink additionally requires every id in the (untrusted) blob to
+        # be < 256 — corrupt ids >= 256 keep the u16 path so out-of-range
+        # semantics stay identical across backends.
+        from rpcc_tpu.models.encoder import num_model_rows
+
+        self._seq_u8_ok = num_model_rows(cfg) <= 256
+        self._cast_u8 = _jax.jit(lambda a: a.astype(_jnp.uint8))
+        self._cast_u16 = _jax.jit(lambda a: a.astype(_jnp.uint16))
 
     @property
     def _step_arg(self) -> np.ndarray:
@@ -394,6 +410,8 @@ class BatchEngine:
         # runs, and this rig's download path is an e2e bottleneck.
         m_seq = _bucket(int(seq_len.max()) if seq_len.size else 1, self.hw)
         seq_dev = out.sequence[:, :m_seq]
+        if self._seq_u8_ok:
+            seq_dev = self._cast_u8(seq_dev)  # ids < 256: halve the downlink
         models_dev = self._flatten_models(out.model_param)  # flat downlink
         if self._dev_entropy:
             # Device entropy: download compressed word prefixes instead of
@@ -455,6 +473,8 @@ class BatchEngine:
                     keep = p < m
                     stream[i, p[keep]] = exc_val[i, :n][keep]
         seq = np.asarray(st.seq_dev)
+        if seq.dtype == np.uint8:  # u8 wire code -> exact u16 field
+            seq = seq.astype(np.uint16)
         contour_packed = np.asarray(st.contour_dev)
         models = np.asarray(st.models_dev)
         models = models.reshape(models.shape[0], -1, 4)  # flat wire -> (B, M, 4)
@@ -518,6 +538,8 @@ class BatchEngine:
         live, stream_len, seq_len = st.live, st.stream_len, st.seq_len
         de = st.de
         seq = np.asarray(st.seq_dev)
+        if seq.dtype == np.uint8:  # u8 wire code -> exact u16 field
+            seq = seq.astype(np.uint16)
         models = np.asarray(st.models_dev)
         models = models.reshape(models.shape[0], -1, 4)  # flat wire -> (B, M, 4)
         salience = None if st.salience_dev is None else np.asarray(st.salience_dev)
@@ -742,7 +764,14 @@ class BatchEngine:
         m_stream = _bucket(
             max((q.shape[0] for q in streams if q is not None), default=1), hw
         )
-        seq = np.zeros((b, m_seq), np.uint16)
+        # u8 sequence uplink (half the bytes) whenever the model table fits
+        # a byte AND every id in this (untrusted) batch is < 256 — corrupt
+        # ids >= 256 keep the u16 view so the out-of-range decode rule
+        # (ids >= M -> r = 0) stays identical across backends.
+        seq_u8 = self._seq_u8_ok and all(
+            s.size == 0 or int(s.max()) < 256 for s in seqs if s is not None
+        )
+        seq = np.zeros((b, m_seq), np.uint8 if seq_u8 else np.uint16)
         for i, s in enumerate(seqs):
             if s is not None:
                 seq[i, : s.shape[0]] = s
@@ -779,7 +808,14 @@ class BatchEngine:
     def _dispatch_decode(self, prepared):
         """Decode pipeline stage 1 (wire-bound): upload + dispatch a
         prepared decode batch; queues the downlink copies."""
+        import jax
+
         dec_fn, args, sal, tail, live = prepared
+        if args[1].dtype == np.uint8:
+            # u8 sequence uplink: ship half the bytes, widen on device (the
+            # decoder program itself always sees u16 — one cached trace).
+            seq16 = self._cast_u16(jax.device_put(args[1]))
+            args = (args[0], seq16, *args[2:])
         if self.cfg.uniform:
             dec = dec_fn(*args, *tail)
         else:

@@ -243,6 +243,55 @@ def test_engine_i8_transfer_exceptions_and_fallback():
         )
 
 
+def test_decode_uplink_u8_and_u16_fallback_agree():
+    """The idx_sequence decode uplink rides as u8 when every id fits a byte
+    (half the wire bytes); a blob carrying an id >= 256 (corrupt/mismatched
+    config input) must keep the u16 view so the out-of-range rule
+    (id >= M -> r = 0) stays identical across backends."""
+    cfg = CodecConfig(cluster_num=16, basic_compressor="bzip2")
+    engine = BatchEngine(SMALL, cfg, batch_size=2, workers=2)
+    pcs = [synth_scene(seed=1), synth_scene(seed=2)]
+    blobs = [b for b, _ in engine.encode_frames(pcs, seeds=[1, 2])]
+    prep = engine._prepare_decode(blobs)
+    assert prep[1][1].dtype == np.uint8  # args[1] = the sequence upload
+    ris_u8, live = engine._materialize_ris(*engine._dispatch_decode(prep))
+    out, _ = engine.encode_batch_device(pcs, seeds=[1, 2])
+    ri_enc = np.asarray(out.range_image)
+    bound = cfg.step + cfg.step / 16.0 / 2.0 + 1e-5
+    for i in range(2):
+        assert np.abs(ris_u8[i] - ri_enc[i]).max() <= bound
+
+    # corrupt sequence: one run id >= 256 forces the exact u16 view
+    from rpcc_tpu.codec.bitstream import pack_bitstream
+    from rpcc_tpu.models.encoder import num_model_rows
+
+    hw = SMALL.height * SMALL.width
+    bits = np.zeros(hw, np.uint8)
+    bits[[0, 8]] = 1
+    nm = num_model_rows(cfg)
+    fields = {
+        "residual_quantized": np.zeros(4, np.int16),
+        "contour_map": np.packbits(bits),
+        "idx_sequence": np.asarray([300, 1], np.uint16),
+        "plane_param": np.zeros((nm, 4), np.float32),
+    }
+    blob_c = pack_bitstream(engine.entropy.compress_dict(fields), uniform=True)
+    prep_c = engine._prepare_decode([blob_c, blob_c])
+    assert prep_c[1][1].dtype == np.uint16
+    ris_c, _ = engine._materialize_ris(*engine._dispatch_decode(prep_c))
+    # id 300 >= M and id 1 both decode to r = 0 — the whole frame is empty,
+    # exactly like the host decoder's rule
+    from rpcc_tpu.models.host_decoder import HostDecoder
+
+    hd = HostDecoder(SMALL, cfg)
+    ri_host = hd.reconstruct(
+        fields["contour_map"], fields["idx_sequence"],
+        fields["residual_quantized"], fields["plane_param"],
+    )
+    assert (ris_c[0] == 0).all()
+    np.testing.assert_array_equal(ris_c[0], ri_host)
+
+
 def test_engine_async_pipeline():
     cfg = CodecConfig(cluster_num=16)
     engine = BatchEngine(SMALL, cfg, batch_size=4, workers=2)
