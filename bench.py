@@ -141,6 +141,30 @@ def wire_bytes_per_frame(engine, clouds):
     return up / live, down / live
 
 
+def decode_wire_bytes_per_frame(engine, blobs):
+    """Actual bytes-on-wire per frame for one decode batch: (uplink B/frame,
+    downlink B/frame).  Uplink = the entropy-decoded upload arrays; downlink
+    = the per-mode views _materialize_ris copies back."""
+    prep = engine._prepare_decode(blobs)
+    _dec_fn, args, sal, tail, live = prep
+    up = sum(
+        np.asarray(a).nbytes for a in (*args, sal, *tail) if a is not None
+    )
+    dec, live = engine._dispatch_decode(prep)
+    if engine._m8_down:
+        fields = (dec.maskp, dec.d8, dec.exc_pd, dec.exc_val, dec.n_exc,
+                  dec.n_nz, dec.delta)
+    elif engine._d8_down:
+        fields = (dec.d8, dec.exc_pd, dec.exc_val, dec.n_exc, dec.delta)
+    elif engine._u16_down:
+        fields = (dec.range_u16, dec.delta)
+    else:
+        fields = (dec.range_image,)
+    down = sum(x.nbytes for x in fields if x is not None)
+    engine._materialize_ris(dec, live)  # drain the queued copies cleanly
+    return up / live, down / live
+
+
 def bench_config(name, lidar, cfg, pc, n_chips, e2e=False, extra=None, batch=None):
     """Device fps (+ optional e2e fps) and quality guardrails for one config."""
     import jax
@@ -344,14 +368,18 @@ def main() -> None:
     # host decoder.  MEDIAN of >= 3 windows, all disclosed (same policy as
     # the encode headline).
     dec_batches = _decode_batches(engine_flag, pc)
+    dwu0, dwd0 = wire_probe()
     dec_windows = sorted(
         measure_decode(engine_flag, dec_batches, n_chips)
         for _ in range(DECODE_WINDOWS)
     )
+    dwu1, dwd1 = wire_probe()
+    dup_pf, ddown_pf = decode_wire_bytes_per_frame(engine_flag, dec_batches[0])
+    dwu, dwd = (dwu0 + dwu1) / 2, (dwd0 + dwd1) / 2
     dec_dev = dec_windows[len(dec_windows) // 2]
     rec_ri = np.linalg.norm(engine_flag.decode_blobs([blob1])[0], axis=-1)
     delta_dec = float(cfg_flag.step) / 16.0
-    emit(
+    dec_line = (
         {
             "metric": "kitti64e_e2e_decode_u16_transfer_acc0.02_rans",
             "value": round(dec_dev, 3),
@@ -362,8 +390,19 @@ def main() -> None:
             "err_bound": round(cfg_flag.step + delta_dec / 2 + 1e-5, 5),
             "transfer": "m8-up/m8-down",
             "chips": n_chips,
+            # decode rides the wire BOTH ways; same evidence scheme as the
+            # datalist line — a below-bar value with value ~= ceiling is
+            # tunnel weather, not code.
+            "wire_up_mbps": round(dwu, 1),
+            "wire_down_mbps": round(dwd, 1),
+            "up_kb_frame": round(dup_pf / 1e3, 1),
+            "down_kb_frame": round(ddown_pf / 1e3, 1),
+            "wire_ceiling_fps": round(
+                1.0 / (dup_pf / (dwu * 1e6) + ddown_pf / (dwd * 1e6)), 1
+            ),
         }
     )
+    emit(dec_line)
 
     from rpcc_tpu.models.host_decoder import HostDecoder
 
@@ -661,6 +700,11 @@ def main() -> None:
     head["config"] = "device_entropy+m8 (shipped default)"
     ALL[head["metric"]] = head["value"]
     head["all"] = dict(ALL)
+    head["decode_device"] = {
+        k: dec_line[k]
+        for k in ("windows", "wire_up_mbps", "wire_down_mbps",
+                  "up_kb_frame", "down_kb_frame", "wire_ceiling_fps")
+    }
     if dl_line is not None:
         head["datalist"] = {
             "windows": dl_line["windows"],
