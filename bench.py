@@ -391,14 +391,20 @@ def main() -> None:
             "transfer": "m8-up/m8-down",
             "chips": n_chips,
             # decode rides the wire BOTH ways; same evidence scheme as the
-            # datalist line — a below-bar value with value ~= ceiling is
-            # tunnel weather, not code.
+            # datalist line — a below-bar value near the ceiling band is
+            # tunnel weather, not code.  Both ceilings are PROBE-based and
+            # conservative (a single blocking 16 MiB transfer understates
+            # pipelined streaming): serial assumes up+down share the pipe,
+            # duplex assumes they fully overlap.
             "wire_up_mbps": round(dwu, 1),
             "wire_down_mbps": round(dwd, 1),
             "up_kb_frame": round(dup_pf / 1e3, 1),
             "down_kb_frame": round(ddown_pf / 1e3, 1),
-            "wire_ceiling_fps": round(
+            "wire_ceiling_serial_fps": round(
                 1.0 / (dup_pf / (dwu * 1e6) + ddown_pf / (dwd * 1e6)), 1
+            ),
+            "wire_ceiling_duplex_fps": round(
+                1.0 / max(dup_pf / (dwu * 1e6), ddown_pf / (dwd * 1e6)), 1
             ),
         }
     )
@@ -585,18 +591,25 @@ def main() -> None:
             "transfer": "m8",
             "entropy": "device",
             "chips": n_chips,
-            # the wire-vs-host evidence: if value ~= uplink_ceiling_fps the
-            # run is tunnel-bound; if host_cpu total ~= 1000/value ms it is
-            # host-bound.  Probes bracket the run (both disclosed).
+            # the wire-vs-host evidence: a value inside the
+            # [serial, duplex] ceiling band is tunnel-bound; if host_cpu
+            # process_total ~= 1000/value ms it is host-bound.  Probes
+            # bracket the run (all four disclosed) and are conservative —
+            # a single blocking 16 MiB transfer understates pipelined
+            # streaming.
             "wire_up_mbps": round(wire_up, 1),
             "wire_down_mbps": round(wire_down, 1),
             "wire_probes_mbps": [round(wire_up0, 1), round(wire_up1, 1),
                                  round(wire_down0, 1), round(wire_down1, 1)],
             "up_kb_frame": round(up_pf / 1e3, 1),
             "down_kb_frame": round(down_pf / 1e3, 1),
-            "uplink_ceiling_fps": round(wire_up * 1e6 / max(up_pf, 1.0), 1),
-            "wire_ceiling_fps": round(
+            "wire_ceiling_serial_fps": round(
                 1.0 / (up_pf / (wire_up * 1e6) + down_pf / (wire_down * 1e6)), 1
+            ),
+            "wire_ceiling_duplex_fps": round(
+                1.0
+                / max(up_pf / (wire_up * 1e6), down_pf / (wire_down * 1e6)),
+                1,
             ),
             "host_cpu_ms_frame": host_ms,
             "dispatch_wall_ms_frame": per_ms(ms.get("dispatch_s", 0.0)),
@@ -703,18 +716,16 @@ def main() -> None:
     head["decode_device"] = {
         k: dec_line[k]
         for k in ("windows", "wire_up_mbps", "wire_down_mbps",
-                  "up_kb_frame", "down_kb_frame", "wire_ceiling_fps")
+                  "up_kb_frame", "down_kb_frame",
+                  "wire_ceiling_serial_fps", "wire_ceiling_duplex_fps")
     }
     if dl_line is not None:
         head["datalist"] = {
-            "windows": dl_line["windows"],
-            "wire_up_mbps": dl_line["wire_up_mbps"],
-            "wire_down_mbps": dl_line["wire_down_mbps"],
-            "up_kb_frame": dl_line["up_kb_frame"],
-            "down_kb_frame": dl_line["down_kb_frame"],
-            "uplink_ceiling_fps": dl_line["uplink_ceiling_fps"],
-            "wire_ceiling_fps": dl_line["wire_ceiling_fps"],
-            "host_cpu_ms_frame": dl_line["host_cpu_ms_frame"],
+            k: dl_line[k]
+            for k in ("windows", "wire_up_mbps", "wire_down_mbps",
+                      "up_kb_frame", "down_kb_frame",
+                      "wire_ceiling_serial_fps", "wire_ceiling_duplex_fps",
+                      "host_cpu_ms_frame")
         }
     emit(head)
 
