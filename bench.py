@@ -220,6 +220,23 @@ def bench_config(name, lidar, cfg, pc, n_chips, e2e=False, extra=None, batch=Non
         line["unit"] = "frames/s/chip"
         line["vs_baseline"] = round(fps / BASELINE_FPS, 3)
         line["device_only_fps"] = round(dev_fps, 1)
+        # per-config wire evidence (same scheme as the datalist line): one
+        # probe + one measured batch, so a below-bar config is attributable
+        # to tunnel weather vs code on its own line.
+        wu, wd = wire_probe()
+        upf, dpf = wire_bytes_per_frame(
+            engine, _jittered_variants(pc, 8) * (engine.batch_size // 8)
+        )
+        line["wire_up_mbps"] = round(wu, 1)
+        line["wire_down_mbps"] = round(wd, 1)
+        line["up_kb_frame"] = round(upf / 1e3, 1)
+        line["down_kb_frame"] = round(dpf / 1e3, 1)
+        line["wire_ceiling_serial_fps"] = round(
+            1.0 / (upf / (wu * 1e6) + dpf / (wd * 1e6)), 1
+        )
+        line["wire_ceiling_duplex_fps"] = round(
+            1.0 / max(upf / (wu * 1e6), dpf / (wd * 1e6)), 1
+        )
 
     return line, engine, blob0, ri
 

@@ -144,3 +144,49 @@ def test_host_decoder_survives_mutated_bitstreams():
         except Exception:
             raised += 1  # clean failure is fine; a segfault would kill pytest
     assert decoded + raised == 300
+
+
+def test_engine_decoder_survives_mutated_bitstreams():
+    """The DEVICE decode path (engine._prepare_decode -> decoder graph ->
+    m8 downlink reconstruction) must also survive adversarial .rpcc input:
+    the entropy/container layer raises cleanly, and anything that reaches
+    the fixed-shape graph decodes to SOME finite range image (the graph
+    itself cannot crash on data).  60 mutations across the same five
+    classes as the host fuzz."""
+    from rpcc_tpu.config import CodecConfig
+    from rpcc_tpu.parallel import BatchEngine
+    from tests.test_roundtrip import SMALL, synth_scene
+
+    cfg = CodecConfig(cluster_num=16)
+    engine = BatchEngine(SMALL, cfg, batch_size=1, workers=2)
+    blob = engine.encode_frames([synth_scene(seed=5)], seeds=[0])[0][0]
+    rng = np.random.default_rng(11)
+    decoded = raised = 0
+    for trial in range(60):
+        b = bytearray(blob)
+        mode = trial % 5
+        if mode == 0:
+            i = int(rng.integers(0, len(b)))
+            b[i] ^= 1 << int(rng.integers(0, 8))
+        elif mode == 1:
+            i = int(rng.integers(0, len(b)))
+            b[i] = int(rng.integers(0, 256))
+        elif mode == 2:
+            b = b[: int(rng.integers(1, len(b)))]
+        elif mode == 3:
+            i = int(rng.integers(0, max(1, len(b) - 16)))
+            b[i : i + 16] = rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+        else:
+            b = bytearray(
+                rng.integers(
+                    0, 256, int(rng.integers(8, 4096)), dtype=np.uint8
+                ).tobytes()
+            )
+        try:
+            pcs = engine.decode_blobs([bytes(b)])
+            assert pcs[0].shape == (SMALL.height, SMALL.width, 3)
+            assert np.isfinite(pcs[0]).all()
+            decoded += 1
+        except Exception:
+            raised += 1
+    assert decoded + raised == 60
