@@ -539,6 +539,9 @@ def main() -> None:
             for (blob, _f), name in zip(results, files[:BATCH]):
                 with open(output_path_for(name, td + "/warm", "rpcc"), "wb") as f:
                     f.write(blob)
+        for p in files:  # page-cache warm ALL inputs: rep 0 was always the
+            with open(p, "rb") as f:  # cold-read outlier, dragging the median
+                f.read()
         wire_up0, wire_down0 = wire_probe()
         rep_stats = []
         dl_rates = []

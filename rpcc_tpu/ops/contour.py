@@ -43,16 +43,19 @@ def extract_contour(seg: jnp.ndarray) -> ContourCode:
 
 
 def pack_bits_msb(bits: jnp.ndarray) -> jnp.ndarray:
-    """np.packbits(axis=None) equivalent on device: (...,) {0,1} -> (N/8,) u8.
+    """np.packbits(axis=None) equivalent on device: (...,) {0,1} -> (ceil(N/8),) u8.
 
-    One (N/8, 8) @ (8,) contraction instead of a 2MB/frame download of raw
-    bit bytes.  Total bit count must be a multiple of 8 (range images are).
+    One (ceil(N/8), 8) @ (8,) contraction instead of a 2MB/frame download of
+    raw bit bytes.  A ragged tail (N % 8 != 0 — geometries whose H*W is not
+    a byte multiple) is zero-padded exactly like np.packbits, so the packed
+    bytes stay byte-identical to the host encoder's.
     """
     flat = bits.reshape(-1).astype(jnp.int32)
     n = flat.shape[0]
-    assert n % 8 == 0, "bit count must be a multiple of 8"
+    if n % 8:
+        flat = jnp.concatenate([flat, jnp.zeros(((-n) % 8,), jnp.int32)])
     weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
-    return jnp.sum(flat.reshape(n // 8, 8) * weights, axis=-1).astype(jnp.uint8)
+    return jnp.sum(flat.reshape(-1, 8) * weights, axis=-1).astype(jnp.uint8)
 
 
 def unpack_bits_msb(packed: jnp.ndarray, n_bits: int) -> jnp.ndarray:

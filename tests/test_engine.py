@@ -243,6 +243,50 @@ def test_engine_i8_transfer_exceptions_and_fallback():
         )
 
 
+def test_ragged_geometry_m8_engine_falls_back_to_d8_downlink():
+    """A geometry whose H*W is not a multiple of 8 cannot build the packed
+    m8 downlink in-graph (pack_bits_msb packs whole bytes) — the engine
+    must auto-select the d8 row-delta downlink and still roundtrip; forcing
+    m8_down on an f32 engine must fail at construction (ADVICE r3)."""
+    from rpcc_tpu.config import LidarConfig
+
+    ragged = LidarConfig(
+        name="ragged", horizontal_fov_deg=360.0,
+        vertical_angle_max_deg=2.0, vertical_angle_min_deg=-10.0,
+        height=12, width=49,  # hw = 588, 588 % 8 == 4
+    )
+    assert (ragged.height * ragged.width) % 8 != 0
+    cfg = CodecConfig(cluster_num=8)  # default m8 transfer
+    engine = BatchEngine(ragged, cfg, batch_size=2, workers=2)
+    assert engine._downlink == "d8"
+
+    rng = np.random.default_rng(3)
+    n = 1500
+    depth = rng.uniform(2.0, 40.0, n)
+    az = rng.uniform(0, 2 * np.pi, n)
+    el = rng.uniform(ragged.vertical_min, ragged.vertical_max, n)
+    pc = np.stack(
+        [depth * np.cos(el) * np.cos(az), depth * np.cos(el) * np.sin(az),
+         depth * np.sin(el)], -1,
+    ).astype(np.float32)
+    results = engine.encode_frames([pc, pc], seeds=[0, 1])
+    decoded = engine.decode_blobs([b for b, _ in results])
+    out, _ = engine.encode_batch_device([pc, pc], seeds=[0, 1])
+    ri = np.asarray(out.range_image)
+    bound = cfg.step + cfg.step / 16.0 / 2.0 + 1e-5
+    for i in range(2):
+        rec_ri = np.linalg.norm(decoded[i], axis=-1)
+        assert np.abs(rec_ri - ri[i]).max() <= bound
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        BatchEngine(
+            ragged, CodecConfig(cluster_num=8, transfer_precision="f32"),
+            batch_size=2, workers=2, m8_down=True,
+        )
+
+
 def test_decode_uplink_u8_and_u16_fallback_agree():
     """The idx_sequence decode uplink rides as u8 when every id fits a byte
     (half the wire bytes); a blob carrying an id >= 256 (corrupt/mismatched
