@@ -92,18 +92,32 @@ def _device_args(engine, clouds):
     return tuple(jax.device_put(a) for a in (pts, seeds, engine._step_arg, *tail))
 
 
+_PROBE_BUF = None
+_PROBE_CALLS = [0]
+
+
 def wire_probe(reps: int = 3):
     """Measured tunnel throughput right now: (up_MB/s, down_MB/s), median of
-    ``reps`` 16 MiB flat-u8 transfers with distinct content each rep (since
-    r3 the tunnel does NOT cache repeated content, but keep them distinct so
-    this stays true if that changes back)."""
+    ``reps`` 16 MiB flat-u8 transfers.  EVERY byte changes between reps AND
+    between calls (in-place wrapping add, ~2 ms) — since r3 the tunnel does
+    not cache repeated content, but if that cache ever returns, reused
+    content would inflate every probe after the first and silently
+    misattribute code regressions to 'tunnel weather'."""
     import jax
 
-    rng = np.random.default_rng(99)
-    base = rng.integers(0, 256, (1 << 24,), dtype=np.uint8)  # 16 MiB
+    global _PROBE_BUF
+    if _PROBE_BUF is None:
+        _PROBE_BUF = np.random.default_rng(99).integers(
+            0, 256, (1 << 24,), dtype=np.uint8
+        )  # 16 MiB
+    base = _PROBE_BUF
     ups, downs = [], []
-    for i in range(reps):
-        base[:4096] = i  # distinct content per rep, ~free
+    for _ in range(reps):
+        _PROBE_CALLS[0] += 1
+        base += np.uint8(1 + (_PROBE_CALLS[0] % 3))  # whole-buffer change
+        base[:8] = np.frombuffer(  # globally unique even past wraparound
+            np.int64(_PROBE_CALLS[0]).tobytes(), np.uint8
+        )
         t0 = time.perf_counter()
         d = jax.block_until_ready(jax.device_put(base))
         ups.append(base.nbytes / (time.perf_counter() - t0) / 1e6)

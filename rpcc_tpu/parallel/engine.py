@@ -68,7 +68,7 @@ class _Staged(NamedTuple):
     stream_len: "np.ndarray"
     seq_len: "np.ndarray"
     stream_dev: object  # (B, m_stream) i8 transfer view, async copy queued
-    seq_dev: object  # (B, m_seq) u16, async copy queued
+    seq_dev: object  # (B, m_seq) u8 when ids < 256 (default), else u16
     contour_dev: object  # (B, HW/8) u8
     models_dev: object  # (B, M*4) f32 — flat downlink, host reshapes
     salience_dev: object  # (B, M) u8 or None
@@ -132,9 +132,11 @@ class BatchEngine:
                 "m8_down/d8_down require transfer_precision in "
                 "('u16', 'i8', 'm8'); the f32 decoder has no reduced downlink"
             )
-        # The in-graph m8 mask build packs whole bytes (pack_bits_msb asserts
-        # hw % 8 == 0) — geometries with a ragged bit plane take the d8
-        # row-delta downlink instead, mirroring project_points_host_m8's gate.
+        # The m8 downlink's NATIVE host inverter (m8_reconstruct_batch) and
+        # the native m8 projection both walk whole mask bytes and gate on
+        # hw % 8 == 0 (falling back to slower numpy twins) — ragged
+        # geometries take the d8 row-delta downlink instead, which has no
+        # such cliff.  (pack_bits_msb itself zero-pads ragged tails.)
         m8_ok = (self.hw % 8) == 0
         m8_sel = (
             (reduced and m8_ok and d8_down is None)
@@ -814,8 +816,17 @@ class BatchEngine:
         if args[1].dtype == np.uint8:
             # u8 sequence uplink: ship half the bytes, widen on device (the
             # decoder program itself always sees u16 — one cached trace).
-            seq16 = self._cast_u16(jax.device_put(args[1]))
-            args = (args[0], seq16, *args[2:])
+            # On a mesh the upload goes straight to the batch sharding the
+            # decoder expects (an unsharded device_put would land on device
+            # 0 and pay a second hop when the sharded decoder reshards it);
+            # the cast jit follows the input's sharding.
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                dev = jax.device_put(args[1], NamedSharding(self.mesh, P("data")))
+            else:
+                dev = jax.device_put(args[1])
+            args = (args[0], self._cast_u16(dev), *args[2:])
         if self.cfg.uniform:
             dec = dec_fn(*args, *tail)
         else:
