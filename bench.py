@@ -576,10 +576,11 @@ def main() -> None:
         for p in files:  # page-cache warm ALL inputs: rep 0 was always the
             with open(p, "rb") as f:  # cold-read outlier, dragging the median
                 f.read()
-        wire_up0, wire_down0 = wire_probe()
+        dl_probes = []  # one probe per rep + closing (same scheme as decode)
         rep_stats = []
         dl_rates = []
         for rep in range(3):
+            dl_probes.append(wire_probe())
             stats: dict = {}
             load_cpu[0] = 0.0
             write_cpu = 0.0
@@ -609,12 +610,12 @@ def main() -> None:
             # below attribute only each stage's own pipeline thread.
             stats["process_cpu_s"] = time.process_time() - cpu0
             rep_stats.append(stats)
-        wire_up1, wire_down1 = wire_probe()
+        dl_probes.append(wire_probe())
         up_pf, down_pf = wire_bytes_per_frame(
             engine_flag, [variants[i % len(variants)] for i in range(BATCH)]
         )
-        wire_up = (wire_up0 + wire_up1) / 2
-        wire_down = (wire_down0 + wire_down1) / 2
+        wire_up = sorted(p[0] for p in dl_probes)[len(dl_probes) // 2]
+        wire_down = sorted(p[1] for p in dl_probes)[len(dl_probes) // 2]
         n_per_rep = len(files)
 
         def per_ms(seconds: float) -> float:
@@ -647,14 +648,16 @@ def main() -> None:
             "chips": n_chips,
             # the wire-vs-host evidence: a value inside the
             # [serial, duplex] ceiling band is tunnel-bound; if host_cpu
-            # process_total ~= 1000/value ms it is host-bound.  Probes
-            # bracket the run (all four disclosed) and are conservative —
-            # a single blocking 16 MiB transfer understates pipelined
-            # streaming.
+            # process_total ~= 1000/value ms it is host-bound.  One probe
+            # per rep + a closing probe (medians drive the ceilings, all
+            # (up, down) pairs disclosed in run order) — probes are
+            # conservative: a single blocking 16 MiB transfer understates
+            # pipelined streaming.
             "wire_up_mbps": round(wire_up, 1),
             "wire_down_mbps": round(wire_down, 1),
-            "wire_probes_mbps": [round(wire_up0, 1), round(wire_up1, 1),
-                                 round(wire_down0, 1), round(wire_down1, 1)],
+            "wire_probes_mbps": [
+                [round(u, 1), round(d, 1)] for u, d in dl_probes
+            ],
             "up_kb_frame": round(up_pf / 1e3, 1),
             "down_kb_frame": round(down_pf / 1e3, 1),
             "wire_ceiling_serial_fps": round(
