@@ -59,6 +59,14 @@ DECODE_WINDOWS = 3
 ALL: dict = {}  # metric -> value, re-emitted in the final summary line
 
 
+def median(vals):
+    """True median: averages the middle pair on even counts (sorted[n//2]
+    alone biased even-length probe lists toward their upper value)."""
+    s = sorted(vals)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
 def emit(obj) -> None:
     ALL[obj["metric"]] = obj["value"]
     print(json.dumps(obj), flush=True)
@@ -255,8 +263,8 @@ def bench_config(name, lidar, cfg, pc, n_chips, e2e=False, extra=None, batch=Non
         line["device_only_fps"] = round(dev_fps, 1)
         if len(wins) > 1:
             line["windows_fps"] = [round(w, 1) for w in wins]
-        wu = sorted(p[0] for p in probes)[len(probes) // 2]
-        wd = sorted(p[1] for p in probes)[len(probes) // 2]
+        wu = median(p[0] for p in probes)
+        wd = median(p[1] for p in probes)
         line["wire_probes_mbps"] = [
             [round(u, 1), round(d, 1)] for u, d in probes
         ]
@@ -450,8 +458,8 @@ def main() -> None:
     dec_probes.append(wire_probe())
     dec_windows = sorted(dec_windows_raw)
     dup_pf, ddown_pf = decode_wire_bytes_per_frame(engine_flag, dec_batches[0])
-    dwu = sorted(p[0] for p in dec_probes)[len(dec_probes) // 2]
-    dwd = sorted(p[1] for p in dec_probes)[len(dec_probes) // 2]
+    dwu = median(p[0] for p in dec_probes)
+    dwd = median(p[1] for p in dec_probes)
     dec_dev = dec_windows[len(dec_windows) // 2]
     # host-CPU attribution from the MEDIAN window (same value the line
     # reports): per-stage thread-CPU ms/frame + all-threads process_total
@@ -662,8 +670,8 @@ def main() -> None:
         up_pf, down_pf = wire_bytes_per_frame(
             engine_flag, [variants[i % len(variants)] for i in range(BATCH)]
         )
-        wire_up = sorted(p[0] for p in dl_probes)[len(dl_probes) // 2]
-        wire_down = sorted(p[1] for p in dl_probes)[len(dl_probes) // 2]
+        wire_up = median(p[0] for p in dl_probes)
+        wire_down = median(p[1] for p in dl_probes)
         n_per_rep = len(files)
 
         def per_ms(seconds: float) -> float:
@@ -740,6 +748,22 @@ def main() -> None:
                     out.append(f.read())
             return out
 
+        # Writes ride a pool with ONE batch in flight — mirroring
+        # cli/decompress_datalist.py::_write_batch_async: the .bin writes
+        # are writeback WALL stalls, not CPU (run 8 attribution: 9.8
+        # ms/frame write wall vs ~0.7 ms write CPU on the host line), so
+        # overlapping them with the next batch's decode hides them.
+        from concurrent.futures import ThreadPoolExecutor
+
+        wpool = ThreadPoolExecutor(8)
+
+        def submit_writes(arrs, chunk, outdir):
+            def one(i):
+                arrs[i].tofile(output_path_for(chunk[i], outdir, "bin"))
+
+            futs = [wpool.submit(one, i) for i in range(len(arrs))]
+            return lambda: [f.result() for f in futs]
+
         hd_dl = HostDecoder(lidar64, cfg_flag)
         hd_dl.decode_blobs_points(read_chunk(rpcc_chunks[0]))  # warm
         host_rates = []
@@ -753,6 +777,7 @@ def main() -> None:
             read_s = dec_s = write_s = 0.0
             done = 0
             blob_b = out_b = 0
+            w_pending = None
             for chunk in rpcc_chunks:
                 s0 = time.perf_counter()
                 blobs_c = read_chunk(chunk)
@@ -760,16 +785,20 @@ def main() -> None:
                 s1 = time.perf_counter()
                 pts = hd_dl.decode_blobs_points(blobs_c)
                 s2 = time.perf_counter()
-                for p, name in zip(pts, chunk):
-                    outp = output_path_for(name, td + "/dec_h", "bin")
-                    a = np.ascontiguousarray(p, "<f4")
-                    a.tofile(outp)
-                    out_b += a.nbytes
-                    done += 1
+                arrs = [np.ascontiguousarray(p, "<f4") for p in pts]
+                out_b += sum(a.nbytes for a in arrs)
+                if w_pending is not None:
+                    w_pending()
+                w_pending = submit_writes(arrs, chunk, td + "/dec_h")
+                done += len(arrs)
                 s3 = time.perf_counter()
                 read_s += s1 - s0
                 dec_s += s2 - s1
-                write_s += s3 - s2
+                write_s += s3 - s2  # = submit + drain-of-previous WAIT
+            if w_pending is not None:
+                s2 = time.perf_counter()
+                w_pending()
+                write_s += time.perf_counter() - s2
             host_rates.append(done / (time.perf_counter() - t0))
             host_rep_ms.append(
                 {
@@ -826,16 +855,26 @@ def main() -> None:
             t0 = time.perf_counter()
             wr_s = 0.0
             done = 0
+            w_pending = None
             gen = (read_timed(c) for c in rpcc_chunks)
             for chunk, pcs in zip(
                 rpcc_chunks, engine_flag.decode_pipeline(gen, stats=st)
             ):
+                # pcs are the engine's compacted (n, 4) xyz0 rows (native
+                # backproject_compact, host-backend save semantics);
+                # writes ride the pool with one batch in flight,
+                # mirroring cli/decompress_datalist.py
                 w0 = time.thread_time()
-                for p, name in zip(pcs, chunk):
-                    outp = output_path_for(name, td + "/dec_d", "bin")
-                    np.ascontiguousarray(p.reshape(-1, 3), "<f4").tofile(outp)
-                    done += 1
+                if w_pending is not None:
+                    w_pending()
+                w_pending = submit_writes(
+                    [np.ascontiguousarray(p, "<f4") for p in pcs],
+                    chunk, td + "/dec_d",
+                )
+                done += len(pcs)
                 wr_s += time.thread_time() - w0
+            if w_pending is not None:
+                w_pending()
             dev_rates.append(done / (time.perf_counter() - t0) / n_chips)
             st["read_cpu_s"] = read_s[0]
             st["write_cpu_s"] = wr_s
@@ -846,8 +885,8 @@ def main() -> None:
         ddl_order = sorted(range(3), key=lambda i: dev_rates[i])
         dst = ddl_stats[ddl_order[1]]
         dn = max(dst.get("frames", 1), 1)
-        ddl_wu = sorted(p[0] for p in ddl_probes)[len(ddl_probes) // 2]
-        ddl_wd = sorted(p[1] for p in ddl_probes)[len(ddl_probes) // 2]
+        ddl_wu = median(p[0] for p in ddl_probes)
+        ddl_wd = median(p[1] for p in ddl_probes)
         ddl_line = {
                 "metric": "kitti64e_datalist_decode_device_acc0.02_rans",
                 "value": round(dev_rates[ddl_order[1]], 3),
@@ -922,8 +961,8 @@ def main() -> None:
     head["value"] = round(med, 3)
     head["vs_baseline"] = round(med / BASELINE_FPS, 3)
     head["windows_fps"] = [round(w, 3) for w in windows]
-    hu = sorted(p[0] for p in hl_probes)[len(hl_probes) // 2]
-    hd = sorted(p[1] for p in hl_probes)[len(hl_probes) // 2]
+    hu = median(p[0] for p in hl_probes)
+    hd = median(p[1] for p in hl_probes)
     h_upf = head["up_kb_frame"] * 1e3
     h_dpf = head["down_kb_frame"] * 1e3
     head["wire_up_mbps"] = round(hu, 1)

@@ -13,31 +13,40 @@ import numpy as np
 
 from rpcc_tpu.cli.common import add_codec_args, config_from_args, lidar_from_args, print_args
 from rpcc_tpu.cli.compress_datalist import output_path_for
-from rpcc_tpu.data.pointcloud_io import save_point_cloud
 
 def _read_bytes(path: str) -> bytes:
     with open(path, "rb") as f:
         return f.read()
 
 
-def _write_batch(io_pool, names, write_one, keep_going: bool) -> int:
-    """Write one decoded batch on the IO pool with per-frame failure
-    isolation: a single failed save (disk full, bad mirrored path) must not
-    kill a --keep_going run, and must not be counted as done.
-    -> number written."""
+def _write_batch_async(io_pool, names, write_one, keep_going: bool):
+    """Submit one decoded batch's writes on the IO pool, with per-frame
+    failure isolation (a single failed save — disk full, bad mirrored path
+    — must not kill a --keep_going run, and must not be counted as done).
+
+    Returns ``drain() -> number written``; the caller drains the PREVIOUS
+    batch after dispatching the next, so batch k's .bin writes (mostly
+    writeback WALL stalls: bench r4 run-8 attribution measured 9.8 ms/frame
+    of write wall against 0.7 ms of write CPU) overlap batch k+1's decode
+    on the 1-core host."""
     def safe(i: int):
         try:
             write_one(i)
             return None
-        except Exception as e:  # noqa: BLE001 — isolate, report, re-raise below
+        except Exception as e:  # noqa: BLE001 — isolate, report, re-raise in drain
             return (names[i], e)
 
-    fails = [r for r in io_pool.map(safe, range(len(names))) if r is not None]
-    for name, err in fails:
-        print(f"ERROR writing output for {name}: {err}")
-    if fails and not keep_going:
-        raise fails[0][1]
-    return len(names) - len(fails)
+    futs = [io_pool.submit(safe, i) for i in range(len(names))]
+
+    def drain() -> int:
+        fails = [r for r in (f.result() for f in futs) if r is not None]
+        for name, err in fails:
+            print(f"ERROR writing output for {name}: {err}")
+        if fails and not keep_going:
+            raise fails[0][1]
+        return len(names) - len(fails)
+
+    return drain
 
 
 def main() -> None:
@@ -88,6 +97,13 @@ def main() -> None:
     mesh = data_mesh() if len(jax.devices()) > 1 else None
     engine = BatchEngine(lidar, cfg, batch_size=args.batch, mesh=mesh, workers=args.workers)
 
+    # Both device paths write the engine's compacted (n, 4) xyz0 rows
+    # straight to .bin — same save semantics as the host backend (the
+    # zero-pixel drop rule lives in decode.cpp::backproject_compact / its
+    # numpy twin, matching data.pointcloud_io.save_point_cloud's sum != 0
+    # reference rule); byte-identical to the host files in f32-transfer
+    # mode, within the u16 snap bound in reduced modes.
+    pending = None
     if args.keep_going:
         # Failure-isolation path: per-batch decode so one corrupt bitstream
         # only skips its own batch.
@@ -95,19 +111,22 @@ def main() -> None:
             names = file_list[start : start + args.batch]
             try:
                 blobs = [_read_bytes(fp) for fp in names]
-                pcs = engine.decode_blobs(blobs)
+                pcs = engine.decode_blobs_points(blobs)
             except Exception as e:
                 print(f"ERROR decoding batch at {names[0]}: {e}")
                 continue
 
-            def write(i: int) -> None:
+            def write(i: int, names=names, pcs=pcs) -> None:
                 path = output_path_for(names[i], args.output_dir, "bin")
-                save_point_cloud(path, pcs[i].reshape(-1, 3))
+                np.ascontiguousarray(pcs[i], "<f4").tofile(path)
 
-            done += _write_batch(io_pool, names, write, args.keep_going)
+            if pending is not None:
+                done += pending()
+            pending = _write_batch_async(io_pool, names, write, args.keep_going)
     else:
-        # Throughput path: 2-deep pipeline — batch k's entropy decode +
-        # upload overlaps batch k-1's range-image download + writes.
+        # Throughput path: pipelined decode with one write batch in flight
+        # — batch k's entropy decode + upload overlaps batch k-1's
+        # range-image download and batch k-2's .bin writes.
         name_batches = [
             file_list[s : s + args.batch]
             for s in range(0, len(file_list), args.batch)
@@ -120,10 +139,14 @@ def main() -> None:
         for names, pcs in zip(name_batches, engine.decode_pipeline(gen())):
             def write(i: int, names=names, pcs=pcs) -> None:
                 path = output_path_for(names[i], args.output_dir, "bin")
-                save_point_cloud(path, pcs[i].reshape(-1, 3))
+                np.ascontiguousarray(pcs[i], "<f4").tofile(path)
 
-            done += _write_batch(io_pool, names, write, args.keep_going)
+            if pending is not None:
+                done += pending()
+            pending = _write_batch_async(io_pool, names, write, args.keep_going)
 
+    if pending is not None:
+        done += pending()
     dt = time.time() - t0
     print(f"\nDecompressed {done} frames in {dt:.2f}s ({done / dt:.2f} frames/s)")
 
@@ -137,6 +160,7 @@ def _host_decode_datalist(args, cfg, lidar, file_list, io_pool) -> int:
 
     hd = HostDecoder(lidar, cfg)
     done = 0
+    pending = None
     for start in range(0, len(file_list), args.batch):
         names = file_list[start : start + args.batch]
         try:
@@ -152,7 +176,14 @@ def _host_decode_datalist(args, cfg, lidar, file_list, io_pool) -> int:
             path = output_path_for(names[i], args.output_dir, "bin")
             np.ascontiguousarray(pts[i], "<f4").tofile(path)
 
-        done += _write_batch(io_pool, names, write, args.keep_going)
+        # One write batch in flight: the .bin writes are writeback wall
+        # stalls, not CPU — overlapping them with the next batch's decode
+        # is the single biggest lever on the host datalist decode rate.
+        if pending is not None:
+            done += pending()
+        pending = _write_batch_async(io_pool, names, write, args.keep_going)
+    if pending is not None:
+        done += pending()
     return done
 
 

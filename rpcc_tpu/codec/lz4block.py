@@ -157,6 +157,13 @@ def _load():
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p,
             ]
+        fn = getattr(lib, "backproject_compact", None)
+        if fn is not None:
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p,
+            ]
         fn = getattr(lib, "host_decode_frame", None)
         if fn is not None:
             # c_float argtypes required (see project_bin_raster note).

@@ -234,4 +234,37 @@ void m8_reconstruct_batch(
   }
 }
 
+// Back-project a reconstructed range image to compacted (n, 4) xyz0 rows —
+// the device-decode save tail (parallel/engine.py::_points4_from_ris).
+// Same math and drop rule as host_decode_frame step 4 (and the numpy twin:
+// sum(xyz) != 0, reference dataset.py:74-75), so the device and host
+// datalist decode backends share save semantics (byte-identical files in
+// f32-transfer mode; reduced modes re-snap ranges to the u16 grid first).  The numpy
+// broadcast this replaces ((H, W, 1) * (H, W, 3) + mask + concat) walked
+// ~6 MB of temporaries per frame on the 1-core host — 7.8 ms/frame of the
+// datalist device-decode budget; this single pass reads ri + planar rays
+// and writes only live rows (~0.4 ms).
+int64_t backproject_compact(
+    const float* ri,   // (hw,) reconstructed ranges
+    const float* tm,   // (3, hw) planar unit rays
+    int64_t hw,
+    float* xyz_out) {  // (hw, 4) capacity; returns rows written
+  const float* tx = tm;
+  const float* ty = tm + hw;
+  const float* tz = tm + 2 * hw;
+  int64_t n = 0;
+  for (int64_t p = 0; p < hw; ++p) {
+    float r = ri[p];
+    float x = r * tx[p], y = r * ty[p], z = r * tz[p];
+    if (x + y + z != 0.0f) {
+      xyz_out[4 * n] = x;
+      xyz_out[4 * n + 1] = y;
+      xyz_out[4 * n + 2] = z;
+      xyz_out[4 * n + 3] = 0.0f;
+      ++n;
+    }
+  }
+  return n;
+}
+
 }  // extern "C"

@@ -911,6 +911,59 @@ class BatchEngine:
             self._tm_np = build_transform_map(self.lidar)
         return [ris[i][..., None] * self._tm_np for i in range(live)]
 
+    def _points4_from_ris(self, ris: np.ndarray, live: int) -> List[np.ndarray]:
+        """-> list of compacted (n, 4) f32 xyz0 rows per live frame — the
+        datalist save format (reference dataset.py:74-75 drop rule).  Same
+        row count and drop decisions as HostDecoder.decode_blobs_points;
+        byte-identical to it in f32-transfer mode, within the documented
+        u16 snap bound (<= step/32) in reduced-transfer modes (the m8/d8
+        decode downlinks re-snap the reconstruction to the u16 grid).
+
+        Native single pass (decode.cpp::backproject_compact); the numpy
+        twin applies the same sum(xyz) != 0 rule in the same f32 order.
+        The full-cloud broadcast it replaces ((H, W, 1) * (H, W, 3), then
+        save_point_cloud's mask + concat) cost 7.8 ms/frame of the 1-core
+        datalist device-decode budget (bench r4 run 8 attribution)."""
+        from rpcc_tpu.codec.lz4block import native_lib
+
+        if not hasattr(self, "_tm_planar"):
+            from rpcc_tpu.ops.projection import build_transform_planes
+
+            self._tm_planar = np.ascontiguousarray(
+                build_transform_planes(self.lidar).reshape(3, self.hw),
+                np.float32,
+            )
+        lib = native_lib()
+        out: List[np.ndarray] = []
+        if lib is not None and hasattr(lib, "backproject_compact"):
+            import ctypes as ct
+
+            tm_p = self._tm_planar.ctypes.data_as(ct.c_void_p)
+            for i in range(live):
+                ri = np.ascontiguousarray(ris[i], np.float32)
+                buf = np.empty((self.hw, 4), np.float32)
+                n = lib.backproject_compact(
+                    ri.ctypes.data_as(ct.c_void_p), tm_p,
+                    ct.c_int64(self.hw), buf.ctypes.data_as(ct.c_void_p),
+                )
+                out.append(buf[: int(n)])
+            return out
+        for i in range(live):
+            pts = ris[i].reshape(-1, 1) * self._tm_planar.T  # (HW, 3) f32
+            keep = pts.sum(-1) != 0
+            n = int(keep.sum())
+            buf = np.zeros((n, 4), np.float32)
+            buf[:, :3] = pts[keep]
+            out.append(buf)
+        return out
+
+    def decode_blobs_points(self, blobs: Sequence[bytes]) -> List[np.ndarray]:
+        """Device decode -> compacted (n, 4) f32 xyz0 rows per frame (the
+        .bin save format) — mirror of HostDecoder.decode_blobs_points."""
+        return self._points4_from_ris(
+            *self._materialize_ris(*self._dispatch_decode(self._prepare_decode(blobs)))
+        )
+
     def _back_project(self, dec, live: int) -> List[np.ndarray]:
         return self._points_from_ris(*self._materialize_ris(dec, live))
 
@@ -955,12 +1008,17 @@ class BatchEngine:
         """4-deep, 4-thread pipelined decode over an iterable of blob lists
         (mirror of ``encode_pipeline``): stacker entropy-decodes batch k,
         uploader transfers + dispatches k-1, downloader materializes k-2's
-        range images, caller back-projects k-3."""
+        range images, caller back-projects k-3.
+
+        Yields compacted (n, 4) f32 xyz0 rows per frame — the datalist
+        save format, mirroring the host backend's ``decode_blobs_points``
+        (``decode_blobs`` keeps the full (H, W, 3) cloud semantics for
+        eval paths)."""
         return self._run_pipeline(
             blob_batches,
             self._prepare_decode,
             self._dispatch_decode,
             lambda dl: self._materialize_ris(*dl),
-            lambda rl: self._points_from_ris(*rl),
+            lambda rl: self._points4_from_ris(*rl),
             stats=stats,
         )

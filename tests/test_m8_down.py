@@ -99,15 +99,28 @@ def test_m8_down_cap_overflow_falls_back_lossless():
 
 
 def test_m8_down_decode_pipeline(m8_engines):
-    """The 4-deep decode pipeline drains correctly in m8_down mode."""
+    """The 4-deep decode pipeline drains correctly in m8_down mode and
+    yields the compacted (n, 4) xyz0 save rows (engine.decode_blobs_points
+    semantics), matching the full-cloud decode_blobs path after the same
+    sum(xyz) != 0 drop rule."""
     e_m8, _ = m8_engines
     clouds = [synth_scene(seed=s) for s in range(4)]
     blobs = [b for b, _ in e_m8.encode_frames(clouds, seeds=range(4))]
-    direct = e_m8.decode_blobs(blobs)
+    direct = []
+    for pc in e_m8.decode_blobs(blobs):
+        flat = np.asarray(pc, np.float32).reshape(-1, 3)
+        keep = flat.sum(-1) != 0
+        rows = np.zeros((int(keep.sum()), 4), np.float32)
+        rows[:, :3] = flat[keep]
+        direct.append(rows)
     out = []
     for recs in e_m8.decode_pipeline([blobs, blobs]):
         out.append(recs)
     assert len(out) == 2
     for recs in out:
         for a, b in zip(recs, direct):
+            assert a.shape == b.shape and a.dtype == np.float32
             assert np.array_equal(a, b)
+    pts_direct = e_m8.decode_blobs_points(blobs)
+    for a, b in zip(pts_direct, direct):
+        assert np.array_equal(a, b)
