@@ -56,7 +56,32 @@ WALL_WINDOW_S = 30.0
 HEADLINE_WINDOWS = 3
 DECODE_WINDOWS = 3
 
-ALL: dict = {}  # metric -> value, re-emitted in the final summary line
+ALL: dict = {}  # metric -> value or compact evidence, re-emitted at the end
+
+
+def _evidence(obj) -> dict | float:
+    """Compact per-metric evidence for the final summary line (VERDICT r4
+    #4): v=value, w=windows, p=wire probes (up, down) pairs, band=[serial,
+    duplex] wire ceilings, dev=device-only fps, cpu=host process-CPU
+    ms/frame — so the BENCH json tail ALONE attributes every below-bar
+    number to tunnel weather vs host code.  Metrics without e2e evidence
+    stay scalars."""
+    ev: dict = {"v": obj["value"]}
+    w = obj.get("windows_fps") or obj.get("windows")
+    if w:
+        ev["w"] = w
+    if "wire_probes_mbps" in obj:
+        ev["p"] = obj["wire_probes_mbps"]
+    if "wire_ceiling_serial_fps" in obj:
+        ev["band"] = [
+            obj["wire_ceiling_serial_fps"], obj["wire_ceiling_duplex_fps"]
+        ]
+    if "device_only_fps" in obj:
+        ev["dev"] = obj["device_only_fps"]
+    h = obj.get("host_cpu_ms_frame") or obj.get("host_ms_frame")
+    if isinstance(h, dict) and "process_total" in h:
+        ev["cpu"] = h["process_total"]
+    return ev if len(ev) > 1 else obj["value"]
 
 
 def median(vals):
@@ -68,7 +93,7 @@ def median(vals):
 
 
 def emit(obj) -> None:
-    ALL[obj["metric"]] = obj["value"]
+    ALL[obj["metric"]] = _evidence(obj)
     print(json.dumps(obj), flush=True)
 
 
@@ -102,6 +127,25 @@ def _device_args(engine, clouds):
 
 _PROBE_BUF = None
 _PROBE_CALLS = [0]
+# cumulative tunnel host-CPU burn measured during probes (the transfer
+# machinery runs on jax-internal threads, so process_time — not
+# thread_time — sees it; probes run while the engines are idle)
+_PROBE_CPU = {"up_mb": 0.0, "up_cpu_s": 0.0, "down_mb": 0.0, "down_cpu_s": 0.0}
+
+
+def tunnel_cpu_ms_per_mb():
+    """(uplink, downlink) host-CPU ms burned per MB on the wire, measured
+    across every probe so far — the evidence behind the 'tunnel' entry in
+    the host-CPU attributions (r2 measured ~1.6 ms/MB up, ~15 ms/MB down)."""
+    up = (
+        _PROBE_CPU["up_cpu_s"] * 1e3 / _PROBE_CPU["up_mb"]
+        if _PROBE_CPU["up_mb"] else 0.0
+    )
+    down = (
+        _PROBE_CPU["down_cpu_s"] * 1e3 / _PROBE_CPU["down_mb"]
+        if _PROBE_CPU["down_mb"] else 0.0
+    )
+    return up, down
 
 
 def wire_probe(reps: int = 3):
@@ -127,10 +171,16 @@ def wire_probe(reps: int = 3):
             np.int64(_PROBE_CALLS[0]).tobytes(), np.uint8
         )
         t0 = time.perf_counter()
+        c0 = time.process_time()
         d = jax.block_until_ready(jax.device_put(base))
+        _PROBE_CPU["up_cpu_s"] += time.process_time() - c0
+        _PROBE_CPU["up_mb"] += base.nbytes / 1e6
         ups.append(base.nbytes / (time.perf_counter() - t0) / 1e6)
         t0 = time.perf_counter()
+        c0 = time.process_time()
         np.asarray(d)
+        _PROBE_CPU["down_cpu_s"] += time.process_time() - c0
+        _PROBE_CPU["down_mb"] += base.nbytes / 1e6
         downs.append(base.nbytes / (time.perf_counter() - t0) / 1e6)
         del d
     ups.sort()
@@ -185,6 +235,51 @@ def decode_wire_bytes_per_frame(engine, blobs):
     down = sum(x.nbytes for x in fields if x is not None)
     engine._materialize_ris(dec, live)  # drain the queued copies cleanly
     return up / live, down / live
+
+
+def _host_ms(st: dict, up_bytes_pf: float, down_bytes_pf: float,
+             stage_keys: dict) -> dict:
+    """Per-frame host-CPU attribution for one window/rep: per-stage
+    pipeline-thread CPU + pool-worker CPU (``stage_keys`` maps display name
+    -> stats key) + a probe-derived tunnel-transfer estimate; ``other`` is
+    the process_total remainder (jax runtime threads, GC, allocator) —
+    the breakdown sums to process_total by construction, so nothing stays
+    unattributed (VERDICT r4 #2: the r4 datalist line left 6.0 of 9.78
+    ms/frame dark)."""
+    n = max(st.get("frames", 1), 1)
+
+    def pm(key: str) -> float:
+        return st.get(key, 0.0) * 1e3 / n
+
+    out = {name: pm(key) for name, key in stage_keys.items()}
+    out = {k: v for k, v in out.items() if v > 0.0005}
+    up_cpu, down_cpu = tunnel_cpu_ms_per_mb()
+    out["tunnel_est"] = up_bytes_pf / 1e6 * up_cpu + down_bytes_pf / 1e6 * down_cpu
+    total = pm("process_cpu_s")
+    out["other"] = max(total - sum(out.values()), 0.0)
+    out["process_total"] = total
+    return {k: round(v, 3) for k, v in out.items()}
+
+
+ENC_STAGES = {
+    "load": "load_cpu_s",
+    "project_pool": "pool_project_cpu_s",
+    "stack_stage": "prepare_cpu_s",
+    "upload_dispatch": "dispatch_cpu_s",
+    "download_stage": "stage_cpu_s",
+    "entropy_finish": "finish_cpu_s",
+    "entropy_pool": "pool_entropy_cpu_s",
+    "write": "write_cpu_s",
+}
+DEC_STAGES = {
+    "read": "read_cpu_s",
+    "entropy_decode": "prepare_cpu_s",
+    "entropy_decode_pool": "pool_entropy_decode_cpu_s",
+    "upload_dispatch": "dispatch_cpu_s",
+    "download_invert": "stage_cpu_s",
+    "points": "finish_cpu_s",
+    "write": "write_cpu_s",
+}
 
 
 def bench_config(name, lidar, cfg, pc, n_chips, e2e=False, extra=None, batch=None,
@@ -253,9 +348,12 @@ def bench_config(name, lidar, cfg, pc, n_chips, e2e=False, extra=None, batch=Non
         # to tunnel weather vs code on its own line.
         probes = [wire_probe()]
         wins = []
+        win_stats = []
         for _ in range(max(windows, 1)):
-            wins.append(measure_e2e(engine, pc, n_chips))
+            st: dict = {}
+            wins.append(measure_e2e(engine, pc, n_chips, stats=st))
             probes.append(wire_probe())
+            win_stats.append(st)
         fps = sorted(wins)[len(wins) // 2]
         line["value"] = round(fps, 3)
         line["unit"] = "frames/s/chip"
@@ -281,16 +379,27 @@ def bench_config(name, lidar, cfg, pc, n_chips, e2e=False, extra=None, batch=Non
         line["wire_ceiling_duplex_fps"] = round(
             1.0 / max(upf / (wu * 1e6), dpf / (wd * 1e6)), 1
         )
+        # host-CPU attribution from the MEDIAN window (the value's window):
+        # a value under the wire band with process_total ~= 1000/value is
+        # 1-core host-bound — the stage split names the binding stage
+        # (VERDICT r4 #5: plane/nonuniform/DBSCAN sat 60 fps under their
+        # ceilings with nothing on the line to say why).
+        line["host_cpu_ms_frame"] = _host_ms(
+            win_stats[wins.index(fps)], upf, dpf, ENC_STAGES
+        )
 
     return line, engine, blob0, ri
 
 
-def measure_e2e(engine, pc, n_chips: int) -> float:
+def measure_e2e(engine, pc, n_chips: int, stats=None) -> float:
     """Median steady-state pipelined encode rate over one wall window.
 
     Distinct per-batch content (pre-jittered variants) so no transfer
     caching can flatter the numbers; 4-thread pipeline (stack k / upload
-    k-1 / download k-2 / entropy k-3)."""
+    k-1 / download k-2 / entropy k-3).  ``stats`` (optional dict): engine
+    per-stage wall/thread-CPU seconds + pool-worker CPU per site, plus
+    all-threads ``process_cpu_s`` and ``frames`` — attributes a below-bar
+    window to a named host stage vs the wire."""
     variants = _jittered_variants(pc, 8)
     t_start = time.perf_counter()
 
@@ -304,9 +413,13 @@ def measure_e2e(engine, pc, n_chips: int) -> float:
             )
             k += 1
 
+    cpu0 = time.process_time()
     arrivals = []
-    for _results in engine.encode_pipeline(batch_gen()):
+    for _results in engine.encode_pipeline(batch_gen(), stats=stats):
         arrivals.append(time.perf_counter())
+    if stats is not None:
+        stats["process_cpu_s"] = time.process_time() - cpu0
+        stats["frames"] = len(arrivals) * engine.batch_size
     # Steady-state rate = batches completed per wall second between the
     # first and last arrival (the first absorbs the pipeline fill).  NOT a
     # median of inter-arrival gaps: queued batches drain in bunches when
@@ -466,15 +579,9 @@ def main() -> None:
     # (incl. tunnel transfer burn) — the same evidence scheme as the
     # datalist line, closing the fast-wire case where the value sits under
     # the wire ceiling because the 1-core host is the binding constraint.
-    dst = dec_stats[dec_windows_raw.index(dec_dev)]
-    d_n = max(dst.get("frames", 1), 1)
-    dec_host_ms = {
-        "entropy_decode": round(dst.get("prepare_cpu_s", 0.0) * 1e3 / d_n, 3),
-        "upload_dispatch": round(dst.get("dispatch_cpu_s", 0.0) * 1e3 / d_n, 3),
-        "download_invert": round(dst.get("stage_cpu_s", 0.0) * 1e3 / d_n, 3),
-        "points": round(dst.get("finish_cpu_s", 0.0) * 1e3 / d_n, 3),
-        "process_total": round(dst.get("process_cpu_s", 0.0) * 1e3 / d_n, 3),
-    }
+    dec_host_ms = _host_ms(
+        dec_stats[dec_windows_raw.index(dec_dev)], dup_pf, ddown_pf, DEC_STAGES
+    )
     rec_ri = np.linalg.norm(engine_flag.decode_blobs([blob1])[0], axis=-1)
     delta_dec = float(cfg_flag.step) / 16.0
     dec_line = (
@@ -678,18 +785,15 @@ def main() -> None:
             return round(seconds * 1000.0 / n_per_rep, 3)
 
         # host breakdown from the MEDIAN-rate rep (same rep the headline
-        # value reports; rep 0 carries cold-page-cache load costs)
+        # value reports; rep 0 carries cold-page-cache load costs).
+        # _host_ms includes pool-worker CPU (projection + per-frame entropy
+        # framing) and a probe-derived tunnel estimate, and sums to
+        # process_total by construction — the r4 line left 6.0 of 9.78
+        # ms/frame unattributed (pool + tunnel threads).
         med_i = dl_rates.index(sorted(dl_rates)[len(dl_rates) // 2])
         ms = rep_stats[med_i]
-        host_ms = {
-            "load": per_ms(ms.get("load_cpu_s", 0.0)),
-            "project_stack": per_ms(ms.get("prepare_cpu_s", 0.0)),
-            "upload_dispatch": per_ms(ms.get("dispatch_cpu_s", 0.0)),
-            "download_stage": per_ms(ms.get("stage_cpu_s", 0.0)),
-            "entropy_finish": per_ms(ms.get("finish_cpu_s", 0.0)),
-            "write": per_ms(ms.get("write_cpu_s", 0.0)),
-            "process_total": per_ms(ms.get("process_cpu_s", 0.0)),
-        }
+        ms.setdefault("frames", n_per_rep)
+        host_ms = _host_ms(ms, up_pf, down_pf, ENC_STAGES)
         dl_sorted = sorted(dl_rates)
         dl_fps = dl_sorted[len(dl_sorted) // 2]
         dl_line = {
@@ -884,7 +988,6 @@ def main() -> None:
         ddl_probes.append(wire_probe())
         ddl_order = sorted(range(3), key=lambda i: dev_rates[i])
         dst = ddl_stats[ddl_order[1]]
-        dn = max(dst.get("frames", 1), 1)
         ddl_wu = median(p[0] for p in ddl_probes)
         ddl_wd = median(p[1] for p in ddl_probes)
         ddl_line = {
@@ -912,25 +1015,11 @@ def main() -> None:
                     / max(ddl_up_pf / (ddl_wu * 1e6), ddl_down_pf / (ddl_wd * 1e6)),
                     1,
                 ),
-                # per-stage thread-CPU ms/frame from the MEDIAN-rate rep +
-                # all-threads process_total (pool + tunnel transfer burn)
-                "host_cpu_ms_frame": {
-                    "read": round(dst.get("read_cpu_s", 0.0) * 1e3 / dn, 3),
-                    "entropy_decode": round(
-                        dst.get("prepare_cpu_s", 0.0) * 1e3 / dn, 3
-                    ),
-                    "upload_dispatch": round(
-                        dst.get("dispatch_cpu_s", 0.0) * 1e3 / dn, 3
-                    ),
-                    "download_invert": round(
-                        dst.get("stage_cpu_s", 0.0) * 1e3 / dn, 3
-                    ),
-                    "points": round(dst.get("finish_cpu_s", 0.0) * 1e3 / dn, 3),
-                    "write": round(dst.get("write_cpu_s", 0.0) * 1e3 / dn, 3),
-                    "process_total": round(
-                        dst.get("process_cpu_s", 0.0) * 1e3 / dn, 3
-                    ),
-                },
+                # per-stage thread-CPU ms/frame from the MEDIAN-rate rep,
+                # pool + tunnel attributed, sums to process_total
+                "host_cpu_ms_frame": _host_ms(
+                    dst, ddl_up_pf, ddl_down_pf, DEC_STAGES
+                ),
         }
         emit(ddl_line)
 
@@ -952,9 +1041,12 @@ def main() -> None:
     head["run_start_wire_mbps"] = [head["wire_up_mbps"], head["wire_down_mbps"]]
     hl_probes = []
     windows = []
+    hl_stats = []
     for _ in range(HEADLINE_WINDOWS):
         hl_probes.append(wire_probe())
-        windows.append(measure_e2e(engine_flag, pc, n_chips))
+        st_h: dict = {}
+        windows.append(measure_e2e(engine_flag, pc, n_chips, stats=st_h))
+        hl_stats.append(st_h)
     hl_probes.append(wire_probe())
     ordered = sorted(windows)
     med = ordered[len(ordered) // 2]
@@ -978,7 +1070,15 @@ def main() -> None:
     )
     head["best_window_fps"] = round(ordered[-1], 3)
     head["config"] = "device_entropy+m8 (shipped default)"
-    ALL[head["metric"]] = head["value"]
+    # host-CPU attribution from the median headline window (same scheme as
+    # every e2e line: pool + tunnel attributed, sums to process_total)
+    head["host_cpu_ms_frame"] = _host_ms(
+        hl_stats[windows.index(med)], h_upf, h_dpf, ENC_STAGES
+    )
+    head["tunnel_cpu_ms_per_mb"] = [
+        round(v, 2) for v in tunnel_cpu_ms_per_mb()
+    ]
+    ALL[head["metric"]] = _evidence(head)
     head["all"] = dict(ALL)
     head["decode_device"] = {
         k: dec_line[k]

@@ -21,6 +21,7 @@ saturated (``encode_pipeline``):
 from __future__ import annotations
 
 import concurrent.futures as futures
+import threading
 from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
@@ -180,6 +181,12 @@ class BatchEngine:
             method_name=cfg.basic_compressor, contour_shape=(self.H, self.W)
         )
         self._pool = futures.ThreadPoolExecutor(workers)
+        # Per-site pool-worker thread-CPU accounting: pool workers are not
+        # pipeline stage threads, so their CPU is invisible to the stats
+        # hooks' thread_time deltas (the r4 datalist line left 6 ms/frame
+        # unattributed — most of it the native projection running here).
+        self._pool_cpu: Dict[str, float] = {}
+        self._pool_cpu_lock = threading.Lock()
         # Dedicated uploader: stacking + host->device transfer is mostly IO
         # wait, so it overlaps the entropy stage even on a 1-core host.
         self._uploader = futures.ThreadPoolExecutor(1)
@@ -224,6 +231,27 @@ class BatchEngine:
             return np.float32(self.cfg.step)
         return np.asarray(self.cfg.level_acc, dtype=np.float32)
 
+    def _pool_map(self, key: str, fn, n: int) -> list:
+        """``self._pool.map(fn, range(n))`` with the workers' thread-CPU
+        seconds accumulated under ``key`` (read via :meth:`pool_cpu_snapshot`;
+        ~2 us/task of clock overhead on per-frame tasks)."""
+        import time
+
+        def timed(i):
+            c0 = time.thread_time()
+            r = fn(i)
+            dt = time.thread_time() - c0
+            with self._pool_cpu_lock:
+                self._pool_cpu[key] = self._pool_cpu.get(key, 0.0) + dt
+            return r
+
+        return list(self._pool.map(timed, range(n)))
+
+    def pool_cpu_snapshot(self) -> Dict[str, float]:
+        """Cumulative pool-worker thread-CPU seconds per call site."""
+        with self._pool_cpu_lock:
+            return dict(self._pool_cpu)
+
     # ---------------------------------------------------------------- encode
     def _stack(self, clouds: Sequence[np.ndarray]):
         """Host-project each frame (thread pool) and stack (B, H, W) images.
@@ -242,7 +270,7 @@ class BatchEngine:
                     np.asarray(clouds[i], np.float32)[:, :3], self.lidar
                 )
 
-            list(self._pool.map(one, range(len(clouds))))
+            self._pool_map("project", one, len(clouds))
             return out, None, len(clouds)
 
         from rpcc_tpu.ops.projection import project_points_host_u16
@@ -254,7 +282,7 @@ class BatchEngine:
         def one16(i: int) -> None:
             out[i], deltas[i] = project_points_host_u16(clouds[i], self.lidar, floor)
 
-        list(self._pool.map(one16, range(len(clouds))))
+        self._pool_map("project", one16, len(clouds))
         return out, deltas, len(clouds)
 
     def _stack_d8(self, clouds: Sequence[np.ndarray]):
@@ -278,7 +306,7 @@ class BatchEngine:
             )
 
         live = len(clouds)
-        list(self._pool.map(one, range(live)))
+        self._pool_map("project", one, live)
         m = _bucket(
             max((p.shape[0] for p in pds[:live] if p is not None), default=1),
             self.hw,
@@ -318,7 +346,7 @@ class BatchEngine:
             )
 
         live = len(clouds)
-        list(self._pool.map(one, range(live)))
+        self._pool_map("project", one, live)
         M = _bucket(
             max((p.shape[0] for p in planes[:live] if p is not None), default=1),
             self.hw,
@@ -522,7 +550,7 @@ class BatchEngine:
                 compressed["idx_sequence"] = seq_blobs[i]
             return pack_bitstream(compressed, uniform=self.cfg.uniform), fields
 
-        return list(self._pool.map(one, range(live)))
+        return self._pool_map("entropy", one, live)
 
     def _finish_device_entropy(self, st: _Staged) -> List[Tuple[bytes, Dict[str, np.ndarray]]]:
         """Assemble containers from device-encoded pieces (cfg.device_entropy):
@@ -599,7 +627,7 @@ class BatchEngine:
             )
             return pack_bitstream(compressed, uniform=self.cfg.uniform), fields
 
-        return list(self._pool.map(one, range(live)))
+        return self._pool_map("entropy", one, live)
 
     def sharded_stats(self, out, blob_sizes: Sequence[int]) -> Dict[str, float]:
         """Global frames/points/bits/bpp across the mesh via ONE ICI psum
@@ -648,42 +676,58 @@ class BatchEngine:
         """
         from collections import deque
 
+        pool0 = None
         if stats is not None:
             prepare = _timed_stage(prepare, stats, "prepare")
             dispatch = _timed_stage(dispatch, stats, "dispatch")
             stage = _timed_stage(stage, stats, "stage")
             finish = _timed_stage(finish, stats, "finish", count=True)
+            pool0 = self.pool_cpu_snapshot()
 
-        prepared: deque = deque()
-        dispatched: deque = deque()
-        staged: deque = deque()
-        for item in inputs:
-            prepared.append(self._stacker.submit(prepare, item))
-            if len(prepared) >= 2:
+        try:
+            prepared: deque = deque()
+            dispatched: deque = deque()
+            staged: deque = deque()
+            for item in inputs:
+                prepared.append(self._stacker.submit(prepare, item))
+                if len(prepared) >= 2:
+                    fut = prepared.popleft()
+                    dispatched.append(
+                        self._uploader.submit(lambda f=fut: dispatch(f.result()))
+                    )
+                if len(dispatched) >= 2:
+                    fut = dispatched.popleft()
+                    staged.append(
+                        self._downloader.submit(lambda f=fut: stage(f.result()))
+                    )
+                if len(staged) >= 2:
+                    yield finish(staged.popleft().result())
+            # Drain: at most one batch sits in each upstream stage.
+            while prepared:
                 fut = prepared.popleft()
                 dispatched.append(
                     self._uploader.submit(lambda f=fut: dispatch(f.result()))
                 )
-            if len(dispatched) >= 2:
+            while dispatched:
                 fut = dispatched.popleft()
                 staged.append(
                     self._downloader.submit(lambda f=fut: stage(f.result()))
                 )
-            if len(staged) >= 2:
+            while staged:
                 yield finish(staged.popleft().result())
-        # Drain: at most one batch sits in each upstream stage.
-        while prepared:
-            fut = prepared.popleft()
-            dispatched.append(
-                self._uploader.submit(lambda f=fut: dispatch(f.result()))
-            )
-        while dispatched:
-            fut = dispatched.popleft()
-            staged.append(
-                self._downloader.submit(lambda f=fut: stage(f.result()))
-            )
-        while staged:
-            yield finish(staged.popleft().result())
+        finally:
+            if pool0 is not None:
+                # Pool-worker thread-CPU per call site over this run: the
+                # per-stage fields above see only their own pipeline thread,
+                # but projection + per-frame entropy framing run on the
+                # shared pool (the r4 datalist evidence left that CPU
+                # unattributed).
+                for k, v in self.pool_cpu_snapshot().items():
+                    d = v - pool0.get(k, 0.0)
+                    if d > 0.0:
+                        stats[f"pool_{k}_cpu_s"] = (
+                            stats.get(f"pool_{k}_cpu_s", 0.0) + d
+                        )
 
     def encode_pipeline(self, batches, stats=None):
         """4-deep, 4-thread pipelined encode over an iterable of (clouds,
@@ -757,7 +801,7 @@ class BatchEngine:
             if "salience_level" in fields:
                 sal[i] = np.frombuffer(fields["salience_level"], np.uint8).astype(np.int32)
 
-        list(self._pool.map(one, range(len(blobs))))
+        self._pool_map("entropy_decode", one, len(blobs))
         # Bucketed uploads: the padded (B, HW) seq/stream arrays were ~17 MB
         # for ~1 MB of live data, on a ~50 MB/s host link.  The decoder pads
         # in-graph; the residual stream additionally rides the i8+exception
@@ -1004,21 +1048,23 @@ class BatchEngine:
         dec, live = self.decode_blobs_device(blobs)
         return self._back_project(dec, live)
 
-    def decode_pipeline(self, blob_batches, stats=None):
+    def decode_pipeline(self, blob_batches, stats=None, points4=True):
         """4-deep, 4-thread pipelined decode over an iterable of blob lists
         (mirror of ``encode_pipeline``): stacker entropy-decodes batch k,
         uploader transfers + dispatches k-1, downloader materializes k-2's
         range images, caller back-projects k-3.
 
-        Yields compacted (n, 4) f32 xyz0 rows per frame — the datalist
-        save format, mirroring the host backend's ``decode_blobs_points``
-        (``decode_blobs`` keeps the full (H, W, 3) cloud semantics for
-        eval paths)."""
+        With ``points4=True`` (default) yields compacted (n, 4) f32 xyz0
+        rows per frame — the datalist save format, byte-identical to the
+        synchronous ``decode_blobs_points`` and mirroring the host
+        backend's method of the same name.  Pass ``points4=False`` for the
+        full (H, W, 3) cloud semantics of ``decode_blobs`` (eval paths)."""
+        final = self._points4_from_ris if points4 else self._points_from_ris
         return self._run_pipeline(
             blob_batches,
             self._prepare_decode,
             self._dispatch_decode,
             lambda dl: self._materialize_ris(*dl),
-            lambda rl: self._points4_from_ris(*rl),
+            lambda rl: final(*rl),
             stats=stats,
         )

@@ -369,12 +369,26 @@ def test_engine_encode_pipeline_matches_sync_and_roundtrips():
     decoded = list(engine.decode_pipeline(iter(blob_batches)))
     assert len(decoded) == 5
     bound = cfg.step + 1e-5
-    for (clouds, seeds), recs in zip(batches, decoded):
+    for (clouds, seeds), blobs, recs in zip(batches, blob_batches, decoded):
+        # pipeline yields compacted (n, 4) xyz0 save rows — byte-identical
+        # to the synchronous device points path ...
+        direct = engine.decode_blobs_points(blobs)
+        assert len(recs) == len(direct)
+        for rec, ref in zip(recs, direct):
+            assert rec.shape == ref.shape and rec.shape[1] == 4
+            assert np.array_equal(rec, ref)
+        # ... and exactly the nonzero rows of the full-cloud decode, whose
+        # ranges roundtrip within the quantization error bound
+        full = engine.decode_blobs(blobs)
         out, _ = engine.encode_batch_device(clouds, seeds=seeds)
         ri = np.asarray(out.range_image)
         for i, rec in enumerate(recs):
-            rec_ri = np.linalg.norm(rec, axis=-1)
-            assert np.abs(rec_ri - ri[i]).max() <= bound
+            pts = np.asarray(full[i]).reshape(-1, 3)
+            keep = pts.sum(-1) != 0
+            assert np.array_equal(rec[:, :3], pts[keep])
+            assert np.all(rec[:, 3] == 0)
+            rec_ri = np.linalg.norm(np.asarray(full[i]), axis=-1)
+            assert np.abs(rec_ri.reshape(ri[i].shape) - ri[i]).max() <= bound
 
 
 def test_engine_partial_batch():
@@ -399,7 +413,14 @@ def test_decode_pipeline_single_batch_drain():
     ri = np.asarray(out.range_image)
     decoded = list(engine.decode_pipeline(iter([blobs])))
     assert len(decoded) == 1
+    direct = engine.decode_blobs_points(blobs)
+    full = engine.decode_blobs(blobs)
     bound = cfg.step + 1e-5
     for i, rec in enumerate(decoded[0]):
-        rec_ri = np.linalg.norm(rec, axis=-1)
-        assert np.abs(rec_ri - ri[i]).max() <= bound
+        assert rec.shape == direct[i].shape and rec.shape[1] == 4
+        assert np.array_equal(rec, direct[i])
+        pts = np.asarray(full[i]).reshape(-1, 3)
+        keep = pts.sum(-1) != 0
+        assert np.array_equal(rec[:, :3], pts[keep])
+        rec_ri = np.linalg.norm(np.asarray(full[i]), axis=-1)
+        assert np.abs(rec_ri.reshape(ri[i].shape) - ri[i]).max() <= bound

@@ -230,9 +230,12 @@ def test_malformed_exception_lists_native_matches_numpy():
 def test_engine_points_match_host_backend_f32():
     """Datalist save parity across backends: in f32-transfer mode the device
     engine's compacted (n, 4) save rows (decode.cpp::backproject_compact)
-    are byte-identical to HostDecoder.decode_blobs_points up to the ray
-    tables both paths share (the engine reconstructs ranges from the same
-    fields; backprojection uses the identical planar table)."""
+    have the SAME shape (identical drop decisions) as
+    HostDecoder.decode_blobs_points, with values within 1e-3 (device vs host
+    float evaluation of the shared ray tables differs in final ulps, so
+    byte-identity is not guaranteed and not asserted).  decode_pipeline's
+    per-frame rows are additionally pinned byte-identical to the
+    synchronous decode_blobs_points path."""
     cfg = CodecConfig(cluster_num=16, transfer_precision="f32",
                       device_entropy=False)
     engine = BatchEngine(SMALL, cfg, batch_size=2, workers=2)
@@ -241,13 +244,16 @@ def test_engine_points_match_host_backend_f32():
     hd = HostDecoder(SMALL, cfg)
     host_pts = hd.decode_blobs_points(blobs)
     dev_pts = engine.decode_blobs_points(blobs)
+    piped = list(engine.decode_pipeline(iter([blobs])))
     assert len(host_pts) == len(dev_pts) == 2
-    for a, b in zip(dev_pts, host_pts):
+    assert len(piped) == 1 and len(piped[0]) == 2
+    for a, b, p in zip(dev_pts, host_pts, piped[0]):
         assert a.dtype == b.dtype == np.float32
         assert a.shape == b.shape
         # identical drop decisions; values agree to the documented host/
         # device reconstruction agreement (ray-table float ulps)
         assert np.abs(a - b).max() < 1e-3
+        assert np.array_equal(p, a)
 
 
 def test_engine_points4_native_matches_numpy_twin():
