@@ -14,14 +14,19 @@ CONFIGS x ACCURACIES matrix (the bench's advertised configs):
   uniform_point  — uniform / point / FPS (the headline config), 32 frames
   plane          — plane modeling, 16 frames
   nonuniform     — salience-driven quantization, 16 frames
+  dbscan         — DBSCAN segmentation, 16 frames
   velodyne32e    — uniform on the 32E uneven-CSV geometry, 16 frames
+  velodynevlp16  — uniform on the VLP16 geometry, 16 frames
 
 For each accuracy in {0.01, 0.02, 0.03, 0.04, 0.06} every frame is encoded
 (rans and bzip2 byte sizes) and decoded, and the symmetric chamfer distance
 + F1(0.02) are computed against the frame's own back-projected grid cloud
-(the reference's eval convention, tools/compress.py:183).  All configs run
-the SHIPPED defaults otherwise (m8 transfer snap included — the quality a
-bare-flag user gets).
+(the reference's eval convention, tools/compress.py:183).  p2p/p2plane
+PSNR (r=59.7, the reference's evaluate_metrics convention) is computed on
+the first PSNR_FRAMES frames of each cell — each PSNR eval costs ~2.6 s of
+1-core normals/NN work, so the full matrix would dominate the sweep; the
+subset is disclosed in the json.  All configs run the SHIPPED defaults
+otherwise (m8 transfer snap included — the quality a bare-flag user gets).
 
 Writes RD_SWEEP.json and prints a markdown table per config (mean +- std,
 worst case).  Accuracy is a traced argument, so each config's sweep reuses
@@ -42,6 +47,7 @@ sys.path.insert(0, REPO)
 
 EXAMPLE = "/root/reference/assets/example_data/example.bin"
 ACCURACIES = (0.01, 0.02, 0.03, 0.04, 0.06)
+PSNR_FRAMES = 4  # per (config, accuracy) cell — see module docstring
 
 
 def make_suite(pc: np.ndarray, n: int) -> list:
@@ -120,16 +126,23 @@ def sweep_config(name, lidar, cfg, frames, results):
             grid_pc = (ri[..., None] * codec.transform_map)[ri > 0]
             rec_pc = pc_rec[ri_rec > 0]
             res = chamfer_host(grid_pc, rec_pc.reshape(-1, 3))
-            rows.append(
-                {
-                    "frame": i,
-                    "bpp": len(blob) * 8 / n_pts,
-                    "bpp_bzip2": len(blob_bz) * 8 / n_pts,
-                    "chamfer": float(res["mean"]),
-                    "f1_002": float(res["f_score"]),
-                    "max_err": max_err,
-                }
-            )
+            row = {
+                "frame": i,
+                "bpp": len(blob) * 8 / n_pts,
+                "bpp_bzip2": len(blob_bz) * 8 / n_pts,
+                "chamfer": float(res["mean"]),
+                "f1_002": float(res["f_score"]),
+                "max_err": max_err,
+            }
+            if i < PSNR_FRAMES:
+                from rpcc_tpu.metrics.psnr import calc_point_to_point_plane_psnr
+
+                p2p, p2pl = calc_point_to_point_plane_psnr(
+                    grid_pc, rec_pc.reshape(-1, 3), out=False
+                )
+                row["p2p_psnr"] = float(p2p["psnr_mean"])
+                row["p2plane_psnr"] = float(p2pl["psnr_mean"])
+            rows.append(row)
             assert max_err <= bound + 1e-5, (
                 f"bound violated: {name} acc={acc} frame {i}: "
                 f"{max_err} > {bound}"
@@ -142,16 +155,26 @@ def sweep_config(name, lidar, cfg, frames, results):
             }
             for k in ("bpp", "bpp_bzip2", "chamfer", "f1_002", "max_err")
         }
+        for k in ("p2p_psnr", "p2plane_psnr"):
+            vals = [r[k] for r in rows if k in r]
+            agg[k] = {
+                "mean": float(np.mean(vals)),
+                "std": float(np.std(vals)),
+                "min": float(np.min(vals)),
+                "n_frames": len(vals),
+            }
         per_acc[str(acc)] = agg
         a = agg
         print(
             f"{name} acc={acc}: bpp {a['bpp']['mean']:.3f}+-{a['bpp']['std']:.3f} "
             f"(max {a['bpp']['max']:.3f})  bzip2 {a['bpp_bzip2']['mean']:.3f}  "
             f"CD {a['chamfer']['mean']:.5f}+-{a['chamfer']['std']:.5f} "
-            f"(max {a['chamfer']['max']:.5f})  F1 {a['f1_002']['mean']:.4f}",
+            f"(max {a['chamfer']['max']:.5f})  F1 {a['f1_002']['mean']:.4f}  "
+            f"PSNR {a['p2p_psnr']['mean']:.2f}/{a['p2plane_psnr']['mean']:.2f}",
             flush=True,
         )
-    results[name] = {"n_frames": len(frames), "lidar": lidar.name, "per_acc": per_acc}
+    results[name] = {"n_frames": len(frames), "lidar": lidar.name,
+                     "psnr_frames": PSNR_FRAMES, "per_acc": per_acc}
 
 
 def main() -> None:
@@ -166,11 +189,14 @@ def main() -> None:
     )
     lidar32 = LidarConfig.from_yaml(__lidar_cfg__["Velodyne32E"], csv_32e,
                                     name="Velodyne32E")
+    lidar16 = LidarConfig.from_yaml(__lidar_cfg__["VelodyneVLP16"],
+                                    name="VelodyneVLP16")
     pc0 = load_point_cloud(EXAMPLE).astype(np.float32)
     frames64 = make_suite(pc0, 32)
     from bench import synth_cloud_for
 
     frames32 = make_suite(synth_cloud_for(lidar32), 16)
+    frames16 = make_suite(synth_cloud_for(lidar16), 16)
 
     results: dict = {}
     t_start = time.time()
@@ -183,7 +209,12 @@ def main() -> None:
         "nonuniform", lidar64, CodecConfig(compress_framework="non-uniform"),
         frames64[:16], results,
     )
+    sweep_config(
+        "dbscan", lidar64, CodecConfig(segment_method="DBSCAN"),
+        frames64[:16], results,
+    )
     sweep_config("velodyne32e", lidar32, CodecConfig(), frames32, results)
+    sweep_config("velodynevlp16", lidar16, CodecConfig(), frames16, results)
 
     with open(os.path.join(REPO, "RD_SWEEP.json"), "w") as f:
         json.dump(
@@ -200,15 +231,17 @@ def main() -> None:
 
     for name, r in results.items():
         print(f"\n### {name} ({r['n_frames']} frames, {r['lidar']})")
-        print("| accuracy | bpp (rans) | bpp (bzip2) | chamfer (m) | F1@0.02 |")
-        print("|---|---|---|---|---|")
+        print("| accuracy | bpp (rans) | bpp (bzip2) | chamfer (m) | F1@0.02 "
+              "| p2p PSNR | p2plane PSNR |")
+        print("|---|---|---|---|---|---|---|")
         for acc in ACCURACIES:
             a = r["per_acc"][str(acc)]
             print(
                 f"| {acc} | {a['bpp']['mean']:.3f} ± {a['bpp']['std']:.3f} "
                 f"(max {a['bpp']['max']:.3f}) | {a['bpp_bzip2']['mean']:.3f} | "
                 f"{a['chamfer']['mean']:.4f} ± {a['chamfer']['std']:.4f} "
-                f"(max {a['chamfer']['max']:.4f}) | {a['f1_002']['mean']:.4f} |"
+                f"(max {a['chamfer']['max']:.4f}) | {a['f1_002']['mean']:.4f} "
+                f"| {a['p2p_psnr']['mean']:.2f} | {a['p2plane_psnr']['mean']:.2f} |"
             )
 
 

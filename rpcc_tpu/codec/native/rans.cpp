@@ -167,11 +167,63 @@ void rans_encode_ctx_batch(const int32_t* sym, const int32_t* ctx,
     }
 }
 
+// Serial per-lane decode body (the reference formulation) — kept as the
+// fallback for lives that are not a non-increasing prefix (never produced
+// by our containers, but the C ABI does not forbid it).
+static void decode_lanes_serial(
+    const uint16_t* words, const int32_t* counts, const uint32_t* states,
+    const uint16_t* fq, const uint32_t* qb, const uint16_t* s2s,
+    const int32_t* lives, int64_t base_lane,
+    int L, int T, int A, int mode, int32_t* ob) {
+    for (int l = 0; l < L; l++) {
+        const uint16_t* w = words + (base_lane + l) * T;
+        int32_t* out = ob + (size_t)l * T;
+        const int32_t* above = l > 0 ? ob + (size_t)(l - 1) * T : nullptr;
+        uint32_t x = states[base_lane + l];
+        int32_t cur = counts[base_lane + l];
+        int32_t prev = 0;
+        int32_t live = lives ? lives[base_lane + l] : T;
+        if (live > T) live = T;
+        for (int t = 0; t < live; t++) {
+            int cid = 0;
+            if (t > 0) {
+                if (mode == 0) {
+                    cid = zigzag_ctx(prev);
+                } else if (mode == 1) {
+                    int32_t ab = above ? above[t - 1] : 0;
+                    cid = 2 * ab + prev;
+                }
+            }
+            uint32_t slot = x & (M - 1);
+            int32_t s = s2s[(size_t)cid * M + slot];
+            uint32_t f = fq[(size_t)cid * A + s];
+            uint32_t c = qb[(size_t)cid * A + s];
+            x = f * (x >> PROB_BITS) + slot - c;
+            if (x < RANS_L) {
+                cur -= 1;
+                uint32_t wv = w[cur > 0 ? cur : 0];
+                x = (x << 16) | wv;
+            }
+            out[t] = s;
+            prev = s;
+        }
+    }
+}
+
 // words: (B, L, T) u16 front-packed; slot2sym: (B, C, M) u16.
 // mode: 0 zigzag buckets, 1 wavefront bits, 2 always-ctx-0.
-// sym_out: (B, L, T) int32.
+// sym_out: (B, L, T) int32, caller-zeroed (mode 1 reads lane l-1's output
+// beyond its live range as 0, matching the numpy/jax twins).
 // lives: (B, L) live symbols per lane (supports mixed-T batches decoded at
 // a common T_max), or nullptr to decode everything.
+//
+// Each lane's state chain is sequential, but the LANES are independent
+// (mode 0/2) or dependent only on the previous lane one step behind
+// (mode 1) — so the hot loops here interleave all L lanes per time step
+// (modes 0/2) or sweep anti-diagonals (mode 1).  On the 1-core host this
+// hides the ~4-cycle multiply + table-load latency chain behind 32
+// independent chains: measured 14 -> ~5 ns/symbol, bit-identical output
+// (per-lane arithmetic order is unchanged).
 void rans_decode_ctx_batch(const uint16_t* words, const int32_t* counts,
                            const uint32_t* states, const uint16_t* freqs,
                            const uint32_t* cums, const uint16_t* slot2sym,
@@ -184,40 +236,100 @@ void rans_decode_ctx_batch(const uint16_t* words, const int32_t* counts,
         const uint32_t* qb = cums + (size_t)b * C * A;
         const uint16_t* s2s = slot2sym + (size_t)b * C * M;
         int32_t* ob = sym_out + (size_t)b * L * T;
-        // lane-major is causal for every mode: mode 0/2 use only the lane's
-        // own history; mode 1 additionally reads lane l-1's (already fully
-        // decoded) symbol at t-1.
+        const int64_t base_lane = (int64_t)b * L;
+
+        std::vector<uint32_t> x(L);
+        std::vector<int32_t> cur(L), prev(L, 0), live(L);
+        bool mono = true;
         for (int l = 0; l < L; l++) {
-            const uint16_t* w = words + ((size_t)b * L + l) * T;
-            int32_t* out = ob + (size_t)l * T;
-            const int32_t* above = l > 0 ? ob + (size_t)(l - 1) * T : nullptr;
-            uint32_t x = states[(size_t)b * L + l];
-            int32_t cur = counts[(size_t)b * L + l];
-            int32_t prev = 0;
-            int32_t live = lives ? lives[(size_t)b * L + l] : T;
-            if (live > T) live = T;
-            for (int t = 0; t < live; t++) {
-                int cid = 0;
-                if (t > 0) {
-                    if (mode == 0) {
-                        cid = zigzag_ctx(prev);
-                    } else if (mode == 1) {
-                        int32_t ab = above ? above[t - 1] : 0;
-                        cid = 2 * ab + prev;
+            x[l] = states[base_lane + l];
+            cur[l] = counts[base_lane + l];
+            int32_t lv = lives ? lives[base_lane + l] : T;
+            if (lv > T) lv = T;
+            if (lv < 0) lv = 0;
+            live[l] = lv;
+            if (l > 0 && lv > live[l - 1]) mono = false;
+        }
+
+        if (mode == 1) {
+            // Wavefront ctx (2*above[t-1] + prev): lane l step t depends on
+            // lane l-1 step t-1 — anti-diagonal sweep keeps every lane in
+            // flight one step apart; within a diagonal the lanes are
+            // independent.  A is 2 for every wavefront container, so the
+            // symbol comes from one compare against cum[cid][1] instead of
+            // the 32 KB/ctx slot table.
+            const bool bits = (A == 2);
+            for (int d = 0; d < L + T - 1; d++) {
+                int lo = d - T + 1;
+                if (lo < 0) lo = 0;
+                int hi = d < L - 1 ? d : L - 1;
+                for (int l = lo; l <= hi; l++) {
+                    int t = d - l;
+                    if (t >= live[l]) continue;
+                    int cid = 0;
+                    if (t > 0) {
+                        int32_t ab = l > 0 ? ob[(size_t)(l - 1) * T + t - 1] : 0;
+                        cid = 2 * ab + prev[l];
                     }
+                    uint32_t xx = x[l];
+                    uint32_t slot = xx & (M - 1);
+                    int32_t s = bits ? (slot >= qb[(size_t)cid * A + 1])
+                                     : s2s[(size_t)cid * M + slot];
+                    uint32_t f = fq[(size_t)cid * A + s];
+                    uint32_t c = qb[(size_t)cid * A + s];
+                    xx = f * (xx >> PROB_BITS) + slot - c;
+                    // Branched renorm on purpose: at ~2.2 coded bits/symbol
+                    // a word is consumed only ~14% of steps, so the branch
+                    // predicts well — the branchless cmov variant measured
+                    // SLOWER (extra unconditional word load on the chain).
+                    if (xx < RANS_L) {
+                        int32_t cu = --cur[l];
+                        uint32_t wv =
+                            words[(base_lane + l) * T + (cu > 0 ? cu : 0)];
+                        xx = (xx << 16) | wv;
+                    }
+                    x[l] = xx;
+                    ob[(size_t)l * T + t] = s;
+                    prev[l] = s;
                 }
-                uint32_t slot = x & (M - 1);
+            }
+            continue;
+        }
+
+        if (!mono) {
+            // lives with a gap (shorter lane before a longer one) would
+            // break the active-prefix trim below; our containers always lay
+            // lanes out as clip(n - l*T, 0, T), but stay correct anyway.
+            decode_lanes_serial(words, counts, states, fq, qb, s2s, lives,
+                                base_lane, L, T, A, mode, ob);
+            continue;
+        }
+
+        // Modes 0/2: lanes fully independent — interleave all of them per
+        // time step; live lanes form a shrinking prefix.
+        const bool zz = (mode == 0);
+        int act = L;
+        for (int t = 0;; t++) {
+            while (act > 0 && t >= live[act - 1]) act--;
+            if (act == 0) break;
+            for (int l = 0; l < act; l++) {
+                int cid = (zz && t > 0) ? zigzag_ctx(prev[l]) : 0;
+                uint32_t xx = x[l];
+                uint32_t slot = xx & (M - 1);
                 int32_t s = s2s[(size_t)cid * M + slot];
                 uint32_t f = fq[(size_t)cid * A + s];
                 uint32_t c = qb[(size_t)cid * A + s];
-                x = f * (x >> PROB_BITS) + slot - c;
-                if (x < RANS_L) {
-                    cur -= 1;
-                    uint32_t wv = w[cur > 0 ? cur : 0];
-                    x = (x << 16) | wv;
+                xx = f * (xx >> PROB_BITS) + slot - c;
+                // branched renorm on purpose (see the wavefront loop)
+                if (xx < RANS_L) {
+                    int32_t cu = --cur[l];
+                    uint32_t wv =
+                        words[(base_lane + l) * T + (cu > 0 ? cu : 0)];
+                    xx = (xx << 16) | wv;
                 }
-                out[t] = s;
-                prev = s;
+                x[l] = xx;
+                ob[(size_t)l * T + t] = s;
+                prev[l] = s;
             }
         }
     }
@@ -423,6 +535,76 @@ int rans_delta_finalize_frames(
         else o32[j] = (int32_t)q;
       }
     }
+    if (seen != (int64_t)n_esc) ++bad;
+  }
+  return bad;
+}
+
+// Finalize decoded delta containers DIRECTLY into the i8+exception decode
+// uplink wire view (i16 streams only): q8[j] = q if |q| <= 127 else -128,
+// with (position, value) exception pairs, exactly the view
+// BatchEngine._prepare_decode used to rebuild by materializing the full
+// (B, HW) i16 stream and re-scanning it three times (~0.5 ms/frame of the
+// 1-core decode budget).  exc positions/values beyond exc_cap are not
+// stored but n_exc keeps counting, so the caller can detect overflow and
+// fall back to the full-i16 path for that batch.  Returns the corrupt-
+// escape frame count like rans_delta_finalize_frames.
+int rans_delta_finalize_frames_i8(
+    const int32_t* sym, int B, int L, int Tmax, int A,
+    const int32_t* Ts, const int64_t* ns, const int64_t* q0s,
+    const uint64_t* esc_ptrs, const int32_t* esc_counts,
+    uint64_t* out8_ptrs,     // per-frame (>= n) int8 rows
+    uint64_t* excpos_ptrs,   // per-frame (exc_cap,) int32, caller-prefilled
+    uint64_t* excval_ptrs,   // per-frame (exc_cap,) int16, caller-zeroed
+    int32_t exc_cap,
+    int32_t* n_exc_out) {    // (B,)
+  const int32_t ESC = A - 1;
+  int bad = 0;
+  for (int b = 0; b < B; ++b) {
+    const int32_t T = Ts[b];
+    const int64_t n = ns[b];
+    const int32_t n_esc = esc_counts[b];
+    n_exc_out[b] = 0;
+    if (n <= 0 || T <= 0) {
+      if (n_esc > 0) ++bad;  // escapes for an empty stream: corrupt
+      continue;
+    }
+    const int32_t* s = sym + (int64_t)b * L * Tmax;
+    const uint32_t* esc = (const uint32_t*)esc_ptrs[b];
+    int64_t ei = 0;
+    int64_t seen = 0;
+    int64_t q = q0s[b];
+    int8_t* o8 = (int8_t*)out8_ptrs[b];
+    int32_t* xp = (int32_t*)excpos_ptrs[b];
+    int16_t* xv = (int16_t*)excval_ptrs[b];
+    int32_t nx = 0;
+    int64_t j = 0;
+    for (int32_t lane = 0; lane < L && j < n; ++lane) {
+      const int32_t* sl = s + (int64_t)lane * Tmax;
+      int64_t lim = n - (int64_t)lane * T;
+      if (lim > T) lim = T;
+      for (int64_t t = 0; t < lim; ++t, ++j) {
+        int64_t zz = sl[t];
+        if (zz == ESC) {
+          ++seen;
+          if (ei < n_esc) zz = (int64_t)esc[ei++];
+        }
+        int64_t d = (j == 0) ? 0 : ((zz >> 1) ^ -(zz & 1));
+        q += d;
+        const int16_t q16 = (int16_t)q;  // i16 stream semantics
+        if (q16 > 127 || q16 < -127) {
+          if (nx < exc_cap) {
+            xp[nx] = (int32_t)j;
+            xv[nx] = q16;
+          }
+          ++nx;
+          o8[j] = -128;
+        } else {
+          o8[j] = (int8_t)q16;
+        }
+      }
+    }
+    n_exc_out[b] = nx;
     if (seen != (int64_t)n_esc) ++bad;
   }
   return bad;

@@ -820,3 +820,79 @@ def decompress_delta_batch(blobs: Sequence[bytes]) -> List[bytes]:
         return_dtype = _CODE_DTYPE[dt_code]
         out.append(q.astype(return_dtype).tobytes())
     return out
+
+
+def peek_delta_ns(blobs: Sequence[bytes]):
+    """Stream lengths from the fixed container header, or None unless every
+    frame is a rANS delta container ('D'/'C') — the cheap pre-check the
+    fused i8 decode path uses to size its output before parsing."""
+    ns = []
+    for b in blobs:
+        if len(b) < 12 or b[0] not in (MAGIC_DELTA, MAGIC_CTX):
+            return None
+        ns.append(int(struct.unpack_from("<I", b, 4)[0]))
+    return ns
+
+
+def decompress_delta_batch_i8(
+    blobs: Sequence[bytes],
+    out8: np.ndarray,     # (B_out, m) int8, caller-zeroed, B_out >= len(blobs)
+    exc_pos: np.ndarray,  # (B_out, cap) int32, caller-prefilled sentinel
+    exc_val: np.ndarray,  # (B_out, cap) int16, caller-zeroed
+):
+    """Decode a batch of i16 delta containers DIRECTLY into the
+    i8+exception decode-uplink wire view (q at |q| <= 127, -128 + an
+    exception pair otherwise) — skipping the full i16 materialization and
+    the three full-array rescan passes BatchEngine._prepare_decode used to
+    pay (VERDICT r4 #3).  Returns (B,) exception counts (entries may exceed
+    the cap — the caller falls back to the i16 path then), or None when
+    this path cannot apply (non-rANS/mixed containers, non-i16 payload,
+    a stream longer than out8's row, or no native library).  Raises the
+    same ValueError as :func:`decompress_delta_batch` on corrupt input."""
+    nat = _native()
+    if nat is None or not hasattr(nat, "delta_finalize_frames_i8"):
+        return None
+    if any(len(b) < 12 or b[0] not in (MAGIC_DELTA, MAGIC_CTX) for b in blobs):
+        return None
+    B = len(blobs)
+    parsed = [_parse_delta(b) for b in blobs]
+    magic = parsed[0][0]
+    lanes = parsed[0][1]
+    if not all(p[0] == magic and p[1] == lanes for p in parsed):
+        return None  # mixed sub-batches: rare, keep the general path
+    if any(p[10] != 0 for p in parsed):  # only i16 streams ride this view
+        return None
+    if any(p[3] > out8.shape[1] for p in parsed):
+        return None
+    T_max = max(p[2] for p in parsed)
+    words = np.zeros((B, lanes, T_max), np.uint16)
+    counts = np.zeros((B, lanes), np.int32)
+    states = np.zeros((B, lanes), np.uint32)
+    for i, (_m, _l, T, n, q0, esc, freqs_i, st, cnt, packed, dt) in enumerate(parsed):
+        if packed.shape[0]:
+            lane_of = np.repeat(np.arange(lanes), cnt)
+            starts_i = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            pos = np.arange(packed.shape[0]) - np.repeat(starts_i, cnt)
+            words[i, lane_of, pos] = packed
+        counts[i] = cnt
+        states[i] = st
+    lives = np.zeros((B, lanes), np.int32)
+    for i, p in enumerate(parsed):
+        lives[i] = np.clip(p[3] - np.arange(lanes) * p[2], 0, p[2])
+    if magic == MAGIC_CTX:
+        freqs = np.stack([p[6] for p in parsed])  # (B, C, A)
+        mode = nat.MODE_ZIGZAG
+    else:
+        freqs = np.stack([p[6][:1] for p in parsed])  # (B, 1, A)
+        mode = nat.MODE_ORDER0
+    sym_all = nat.decode_ctx_batch(words, counts, states, freqs, T_max, mode,
+                                   lives=lives)
+    return nat.delta_finalize_frames_i8(
+        sym_all.reshape(B, lanes, T_max), ALPHABET,
+        [p[2] for p in parsed], [p[3] for p in parsed],
+        [p[4] for p in parsed], [p[5] for p in parsed],
+        [out8[i] for i in range(B)],
+        [exc_pos[i] for i in range(B)],
+        [exc_val[i] for i in range(B)],
+        exc_pos.shape[1],
+    )

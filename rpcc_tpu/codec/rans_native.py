@@ -62,6 +62,12 @@ def _lib():
             lib.rans_contour_finalize_frames.argtypes = (
                 [ct.c_void_p] + [ct.c_int] * 4 + [ct.c_void_p]
             )
+        if hasattr(lib, "rans_delta_finalize_frames_i8"):
+            lib.rans_delta_finalize_frames_i8.restype = ct.c_int
+            lib.rans_delta_finalize_frames_i8.argtypes = (
+                [ct.c_void_p] + [ct.c_int] * 4 + [ct.c_void_p] * 8
+                + [ct.c_int, ct.c_void_p]
+            )
         _sigs_registered = True
     return lib
 
@@ -306,6 +312,51 @@ def delta_finalize_frames_3d(sym3d, A, Ts, ns, q0s, escapes, dtypes):
 
 
 _FINALIZE_DTYPES = {0: np.int16, 1: np.uint16, 2: np.int32}
+
+
+def delta_finalize_frames_i8(
+    sym3d, A, Ts, ns, q0s, escapes,
+    out8_rows, excpos_rows, excval_rows, exc_cap: int,
+):
+    """Fused decode tail straight into the i8+exception decode-uplink view
+    (i16 streams only): per-frame int8 rows get q (or -128 at |q| > 127),
+    exception (pos, val) pairs land in the caller's prefilled arrays.
+    Returns (B,) exception counts (may exceed ``exc_cap`` — the caller
+    falls back to the full-i16 path then), or None when the native symbol
+    is missing.  Raises on corrupt escape lists exactly like
+    :func:`delta_finalize_frames_3d`."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "rans_delta_finalize_frames_i8"):
+        return None
+    B, L, Tmax = sym3d.shape
+    sym_c = np.ascontiguousarray(sym3d, np.int32)
+    Ts_c = np.ascontiguousarray(Ts, np.int32)
+    ns_c = np.ascontiguousarray(ns, np.int64)
+    q0s_c = np.ascontiguousarray(q0s, np.int64)
+    esc_arrs = [np.ascontiguousarray(e, "<u4") for e in escapes]
+    esc_ptrs = np.asarray([e.ctypes.data for e in esc_arrs], np.uint64)
+    esc_counts = np.asarray([e.shape[0] for e in esc_arrs], np.int32)
+    assert all(
+        o.dtype == np.int8 and o.flags.c_contiguous and o.shape[0] >= int(n)
+        for o, n in zip(out8_rows, ns_c)
+    )
+    out_ptrs = np.asarray([o.ctypes.data for o in out8_rows], np.uint64)
+    xp_ptrs = np.asarray([p.ctypes.data for p in excpos_rows], np.uint64)
+    xv_ptrs = np.asarray([v.ctypes.data for v in excval_rows], np.uint64)
+    n_exc = np.zeros(B, np.int32)
+    bad = lib.rans_delta_finalize_frames_i8(
+        sym_c.ctypes.data, B, L, Tmax, A,
+        Ts_c.ctypes.data, ns_c.ctypes.data, q0s_c.ctypes.data,
+        esc_ptrs.ctypes.data, esc_counts.ctypes.data,
+        out_ptrs.ctypes.data, xp_ptrs.ctypes.data, xv_ptrs.ctypes.data,
+        int(exc_cap), n_exc.ctypes.data,
+    )
+    if bad:
+        raise ValueError(
+            f"corrupt delta container: {bad} frame(s) decoded an ESCAPE "
+            "count different from their escape list"
+        )
+    return n_exc
 
 
 def contour_finalize_frames(sym3d, H, W, T):

@@ -775,13 +775,40 @@ class BatchEngine:
         packed = [unpack_bitstream(b, uniform=self.cfg.uniform) for b in blobs]
         resid_bytes = None
         contour_bytes = None
+        fused = None  # (stream8, exc_pos, exc_val) — i8 uplink built in-place
         if self.cfg.basic_compressor == "rans":
             from rpcc_tpu.codec import rans_codec
 
-            resid_bytes, contour_bytes = rans_codec.batch_decode_big_fields(packed)
+            # Fused i8 path: the native finalize writes the i8+exception
+            # decode-uplink view DIRECTLY, skipping the (B, HW) i16
+            # materialization + three rescan passes (VERDICT r4 #3 —
+            # ~0.5 ms/frame of the 1-core decode budget).
+            rblobs = [p["residual_quantized"] for p in packed]
+            ns = rans_codec.peek_delta_ns(rblobs)
+            if ns is not None and max(ns, default=1) <= hw:
+                m_f = _bucket(max(ns + [1]), hw)
+                stream8 = np.zeros((b, m_f), np.int8)
+                exc_pos = np.full((b, EXC_CAP), hw, np.int32)
+                exc_val = np.zeros((b, EXC_CAP), np.int16)
+                n_exc = rans_codec.decompress_delta_batch_i8(
+                    rblobs, stream8, exc_pos, exc_val
+                )
+                if n_exc is not None and (n_exc <= EXC_CAP).all():
+                    fused = (stream8, exc_pos, exc_val)
+            if fused is None:
+                resid_bytes, contour_bytes = rans_codec.batch_decode_big_fields(
+                    packed
+                )
+            elif all(c[0] == rans_codec.MAGIC_BITS for c in
+                     (p["contour_map"] for p in packed)):
+                contour_bytes = rans_codec.decompress_contour_batch(
+                    [p["contour_map"] for p in packed]
+                )
 
         def one(i: int):
-            skip = {"residual_quantized"} if resid_bytes is not None else set()
+            skip = set()
+            if resid_bytes is not None or fused is not None:
+                skip.add("residual_quantized")
             if contour_bytes is not None:
                 skip.add("contour_map")
             fields = {
@@ -795,7 +822,8 @@ class BatchEngine:
                 fields["contour_map"] = contour_bytes[i]
             contour[i] = np.frombuffer(fields["contour_map"], np.uint8)
             seqs[i] = np.frombuffer(fields["idx_sequence"], np.uint16)
-            streams[i] = np.frombuffer(fields["residual_quantized"], np.int16)
+            if fused is None:
+                streams[i] = np.frombuffer(fields["residual_quantized"], np.int16)
             m = np.frombuffer(fields["plane_param"], np.float32).reshape(-1, 4)
             models[i, : m.shape[0]] = m
             if "salience_level" in fields:
@@ -821,6 +849,17 @@ class BatchEngine:
         for i, s in enumerate(seqs):
             if s is not None:
                 seq[i, : s.shape[0]] = s
+        if fused is not None:
+            # i8 uplink view was written in place by the native finalize —
+            # no i16 materialization, no rescan.
+            stream8, exc_pos, exc_val = fused
+            return (
+                self._decode_b_i8,
+                (contour, seq, stream8, models, self._step_arg),
+                sal,
+                (exc_pos, exc_val),
+                len(blobs),
+            )
         # Rebuild the i8+exception transfer view vectorized across the
         # batch (the per-frame loop here was a measurable host cost on the
         # 1-core rig).

@@ -401,6 +401,50 @@ def test_engine_partial_batch():
     assert len(decoded) == 1
 
 
+def test_prepare_decode_fused_i8_matches_rebuild_path():
+    """The fused native i8 decode uplink (rans.cpp::
+    rans_delta_finalize_frames_i8 writing the wire view in place) must be
+    byte-identical to the old materialize-i16-then-rescan rebuild, on
+    content WITH exceptions (|q| > 127 residuals)."""
+    from rpcc_tpu.codec import rans_codec
+
+    cfg = CodecConfig(cluster_num=16)
+    engine = BatchEngine(SMALL, cfg, batch_size=4, workers=2)
+    rng = np.random.default_rng(7)
+    clouds = []
+    for s in range(4):
+        pc = synth_scene(seed=s)
+        # spike some ranges so a few residuals overflow i8 (exceptions)
+        k = rng.integers(5, 15)
+        ix = rng.choice(pc.shape[0], k, replace=False)
+        pc[ix] *= rng.uniform(1.5, 3.0, (k, 1)).astype(np.float32)
+        clouds.append(pc)
+    blobs = [b for b, _ in engine.encode_frames(clouds, seeds=range(4))]
+
+    prep = engine._prepare_decode(blobs)
+    _, args, sal, tail, live = prep
+    assert args[2].dtype == np.int8 and len(tail) == 2, "fused path not taken"
+    orig = rans_codec.peek_delta_ns
+    rans_codec.peek_delta_ns = lambda b: None  # force the old rebuild path
+    try:
+        _, args_o, sal_o, tail_o, _ = engine._prepare_decode(blobs)
+    finally:
+        rans_codec.peek_delta_ns = orig
+    assert args_o[2].dtype == np.int8
+    for a, b in zip(args, args_o):
+        if isinstance(a, np.ndarray):
+            assert a.dtype == b.dtype and a.shape == b.shape
+            assert np.array_equal(a, b)
+    for a, b in zip(tail, tail_o):
+        assert np.array_equal(a, b)
+    assert np.array_equal(sal, sal_o)
+    # at least one real exception must have exercised the exception lists
+    assert (tail[0] < engine.hw).any(), "test content produced no exceptions"
+    # and the decode itself roundtrips
+    pts = engine.decode_blobs_points(blobs)
+    assert len(pts) == 4 and all(p.shape[1] == 4 for p in pts)
+
+
 def test_decode_pipeline_single_batch_drain():
     """One batch must flow entirely through the 4-deep pipeline's drain
     (no steady-state yields happen: prepare/dispatch/materialize all pop
