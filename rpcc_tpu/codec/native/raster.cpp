@@ -97,16 +97,35 @@ extern "C" void project_bin_raster(const float *pts, int64_t n, int64_t stride,
   constexpr int CHUNK = 2048;  // L1-resident temporaries
   float xb[CHUNK], yb[CHUNK], zb[CHUNK];
   float az_buf[CHUNK], v_buf[CHUNK], depth_buf[CHUNK];
-  int32_t idx_buf[CHUNK];
+  int32_t idx_buf[CHUNK], c_buf[CHUNK], row_buf[CHUNK];
   for (int64_t base = 0; base < n; base += CHUNK) {
     const int m = (int)((n - base < CHUNK) ? (n - base) : CHUNK);
     // Pass A0: de-interleave the (runtime-)strided cloud into contiguous
     // buffers — the strided load is what blocks vectorization of the math.
-    for (int i = 0; i < m; ++i) {
-      const float *p = pts + (base + i) * stride;
-      xb[i] = p[0];
-      yb[i] = p[1];
-      zb[i] = p[2];
+    // Duplicated for the two production strides (4: xyzi clouds viewed as
+    // (N, 4); 3: packed xyz) so gcc sees a literal stride and vectorizes
+    // the shuffle (~1.0 ns/pt saved vs the runtime-stride loop).
+    if (stride == 4) {
+      const float *p = pts + base * 4;
+      for (int i = 0; i < m; ++i) {
+        xb[i] = p[i * 4];
+        yb[i] = p[i * 4 + 1];
+        zb[i] = p[i * 4 + 2];
+      }
+    } else if (stride == 3) {
+      const float *p = pts + base * 3;
+      for (int i = 0; i < m; ++i) {
+        xb[i] = p[i * 3];
+        yb[i] = p[i * 3 + 1];
+        zb[i] = p[i * 3 + 2];
+      }
+    } else {
+      for (int i = 0; i < m; ++i) {
+        const float *p = pts + (base + i) * stride;
+        xb[i] = p[0];
+        yb[i] = p[1];
+        zb[i] = p[2];
+      }
     }
     // Pass A1 (the ~90%: two atan2 + two sqrt per point): pure float/double
     // arithmetic with selects only — gcc vectorizes this with 64-byte
@@ -127,14 +146,33 @@ extern "C" void project_bin_raster(const float *pts, int64_t n, int64_t stride,
     // whole pass); out-of-range stragglers (limited-FOV lidars) take the
     // exact numpy floored-% path.
     if (even_dist) {
+      // The `%` fixup is hoisted into a separate straggler pass: a runtime-W
+      // integer modulo in the loop body blocks auto-vectorization of the
+      // whole pass (~4.4 ns/pt).  The main loop is select-only; stragglers
+      // (limited-FOV lidars — zero on full-360 scans) are patched with the
+      // exact same floored-% integer math afterwards, so the result is
+      // bit-identical either way.
+      int n_bad = 0;
       for (int i = 0; i < m; ++i) {
         int32_t c = (int32_t)round_half_away(az_buf[i] / hfov * Wf);
         int32_t col = (c >= W) ? c - W : c;
-        if ((uint32_t)col >= (uint32_t)W) col = ((c % W) + W) % W;
+        n_bad += ((uint32_t)col >= (uint32_t)W);
+        c_buf[i] = c;
         int32_t row = (int32_t)round_half_away((v_buf[i] - vmin) / vres);
         row = (row < 0) ? 0 : row;
         row = (row > H - 1) ? H - 1 : row;
+        row_buf[i] = row;
         idx_buf[i] = row * W + col;
+      }
+      if (n_bad) {
+        for (int i = 0; i < m; ++i) {
+          int32_t c = c_buf[i];
+          int32_t col = (c >= W) ? c - W : c;
+          if ((uint32_t)col >= (uint32_t)W) {
+            col = ((c % W) + W) % W;
+            idx_buf[i] = row_buf[i] * W + col;
+          }
+        }
       }
     } else {
       for (int i = 0; i < m; ++i) {
@@ -152,7 +190,9 @@ extern "C" void project_bin_raster(const float *pts, int64_t n, int64_t stride,
         idx_buf[i] = row * W + col;
       }
     }
-    // Pass B: scalar keep-nearest scatter.
+    // Pass B: scalar keep-nearest scatter (a branchless select+store
+    // variant A/B'd identical — the grid is L2-resident and the branch
+    // predicts well; pinned negative result, don't retry).
     for (int i = 0; i < m; ++i) {
       float d = depth_buf[i];
       if (!(d > 0.0f)) continue;
