@@ -190,12 +190,29 @@ def build_encode_fn(
                 exc_pd, exc_val, n_exc,
             )
             # Unpack the MSB-first bit plane (np.packbits convention) and
-            # rank-gather the compact values back to grid positions.
-            bits = (
+            # expand the compact values back to grid positions with ONE
+            # u16 row-gather per mask byte instead of one gather per grid
+            # cell: TPU serializes gathers per index (~8.6 ns), so the
+            # naive rank-gather cost ~1.76 ms/frame of pure device time —
+            # gathering an 8-wide row of the staggered (M, 8) value table
+            # at each byte's exclusive base rank and selecting in-register
+            # with a one-hot sum measured 0.58 ms/frame, bit-identical
+            # (row16/row32 variants measured worse; i32 table 0.70).
+            bitsb = (
                 (points[:, None] >> jnp.arange(7, -1, -1, dtype=jnp.uint8)) & 1
-            ).reshape(-1)[:hw].astype(jnp.int32)
-            rank = jnp.cumsum(bits) - 1
-            qv = jnp.where(bits == 1, nzq[jnp.clip(rank, 0, M - 1)], 0)
+            ).astype(jnp.int32)  # (n_bytes, 8); padded tail bits are 0
+            pc = bitsb.sum(1)
+            base = jnp.cumsum(pc) - pc           # exclusive rank at byte start
+            off = jnp.cumsum(bitsb, 1) - bitsb   # in-byte exclusive prefix
+            padded = jnp.concatenate(
+                [nzq.astype(jnp.uint16), jnp.zeros((7,), jnp.uint16)]
+            )
+            rows = jnp.stack([padded[k:k + M] for k in range(8)], 1)  # (M, 8)
+            g = rows[jnp.clip(base, 0, M - 1)].astype(jnp.int32)
+            qg = jnp.zeros_like(bitsb)
+            for k in range(8):
+                qg = qg + jnp.where(off == k, g[:, k][:, None], 0)
+            qv = jnp.where(bitsb == 1, qg, 0).reshape(-1)[:hw]
             ri = (qv.astype(jnp.float32) * delta).reshape(H, W)
         elif ri_d8:
             # Invert the host's row-delta i8 code exactly (ops/wire.py;
