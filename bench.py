@@ -742,7 +742,12 @@ def main() -> None:
         dl_probes = []  # one probe per rep + closing (same scheme as decode)
         rep_stats = []
         dl_rates = []
-        for rep in range(3):
+        # 5 reps (was 3): the r5 run-1 capture showed a warm-up ramp
+        # ([44.2, 68.3, 115.8] fps with per-rep host CPU falling 16.9 ->
+        # 10.9 -> 5.8 ms/frame) — a 3-rep median lands mid-ramp and
+        # understates the sustained rate the 768-frame datalist actually
+        # runs at.  All reps stay disclosed in `windows`.
+        for rep in range(5):
             dl_probes.append(wire_probe())
             stats: dict = {}
             load_cpu[0] = 0.0
@@ -875,7 +880,7 @@ def main() -> None:
         # the host backend's whole budget is the 1 CPU core, so the stage
         # split IS the evidence for a below-bar value)
         blob_b = out_b = 0
-        for rep in range(3):
+        for rep in range(5):  # 5 reps: see the datalist e2e ramp note
             t0 = time.perf_counter()
             cpu0 = time.process_time()
             read_s = dec_s = write_s = 0.0
@@ -914,13 +919,14 @@ def main() -> None:
                     ),
                 }
             )
-        host_order = sorted(range(3), key=lambda i: host_rates[i])
+        host_order = sorted(range(len(host_rates)), key=lambda i: host_rates[i])
+        host_med = host_order[len(host_order) // 2]
         emit(
             {
                 "metric": "kitti64e_datalist_decode_host_acc0.02_rans",
-                "value": round(host_rates[host_order[1]], 3),
+                "value": round(host_rates[host_med], 3),
                 "unit": "frames/s (host, no device)",
-                "vs_baseline": round(host_rates[host_order[1]] / BASELINE_FPS, 3),
+                "vs_baseline": round(host_rates[host_med] / BASELINE_FPS, 3),
                 "frames": len(files),
                 "windows": [round(r, 1) for r in sorted(host_rates)],
                 "backend": "host",
@@ -928,7 +934,7 @@ def main() -> None:
                 "blob_kb_frame": round(blob_b / len(files) / 1e3, 1),
                 "out_mb_frame": round(out_b / len(files) / 1e6, 2),
                 # stage ms/frame from the MEDIAN-rate rep (wall, 1 core)
-                "host_ms_frame": host_rep_ms[host_order[1]],
+                "host_ms_frame": host_rep_ms[host_med],
             }
         )
 
@@ -944,7 +950,7 @@ def main() -> None:
         dev_rates = []
         ddl_probes = []
         ddl_stats = []
-        for rep in range(3):
+        for rep in range(5):  # 5 reps: see the datalist e2e ramp note
             ddl_probes.append(wire_probe())
             st: dict = {}
             read_s = [0.0]
@@ -986,15 +992,16 @@ def main() -> None:
             st["frames"] = done
             ddl_stats.append(st)
         ddl_probes.append(wire_probe())
-        ddl_order = sorted(range(3), key=lambda i: dev_rates[i])
-        dst = ddl_stats[ddl_order[1]]
+        ddl_order = sorted(range(len(dev_rates)), key=lambda i: dev_rates[i])
+        ddl_med = ddl_order[len(ddl_order) // 2]
+        dst = ddl_stats[ddl_med]
         ddl_wu = median(p[0] for p in ddl_probes)
         ddl_wd = median(p[1] for p in ddl_probes)
         ddl_line = {
                 "metric": "kitti64e_datalist_decode_device_acc0.02_rans",
-                "value": round(dev_rates[ddl_order[1]], 3),
+                "value": round(dev_rates[ddl_med], 3),
                 "unit": "frames/s/chip",
-                "vs_baseline": round(dev_rates[ddl_order[1]] / BASELINE_FPS, 3),
+                "vs_baseline": round(dev_rates[ddl_med] / BASELINE_FPS, 3),
                 "frames": len(files),
                 "windows": [round(r, 1) for r in sorted(dev_rates)],
                 "transfer": "m8-up/m8-down",
