@@ -624,11 +624,22 @@ def main() -> None:
 
     hd = HostDecoder(lidar64, cfg_flag)
     hd.decode_blobs_points(dec_batches[0][:8])  # warm native lib
-    t0 = time.perf_counter()
-    n_dec = 0
-    for k in range(8):
-        n_dec += len(hd.decode_blobs_points(dec_batches[k % len(dec_batches)]))
-    host_dec = n_dec / (time.perf_counter() - t0)
+    # 3 windows + median, like every other e2e line (this one is pure host
+    # CPU — no wire — so windows mostly expose 1-core contention, not
+    # weather); per-frame process-CPU rides into the final evidence dict.
+    host_windows = []
+    host_cpu_pf = []
+    for w in range(3):
+        t0 = time.perf_counter()
+        c0 = time.process_time()
+        n_dec = 0
+        for k in range(3):
+            n_dec += len(
+                hd.decode_blobs_points(dec_batches[(3 * w + k) % len(dec_batches)])
+            )
+        host_windows.append(round(n_dec / (time.perf_counter() - t0), 3))
+        host_cpu_pf.append((time.process_time() - c0) / n_dec * 1e3)
+    host_dec = median(host_windows)
     ri_host = hd.decode_blobs([blob1])[0]
     emit(
         {
@@ -636,6 +647,10 @@ def main() -> None:
             "value": round(host_dec, 3),
             "unit": "frames/s (host, no device)",
             "vs_baseline": round(host_dec / BASELINE_FPS, 3),
+            "windows_fps": host_windows,
+            "host_cpu_ms_frame": {
+                "process_total": round(median(host_cpu_pf), 3)
+            },
             "max_depth_err": round(float(np.abs(ri_host - ri1).max()), 5),
             "err_bound": round(cfg_flag.step + 1e-5, 5),
             "backend": "host",
