@@ -373,12 +373,21 @@ def batch_decode_big_fields(packed: Sequence[dict]):
     """
     delta_magics = (MAGIC_DELTA, MAGIC_CTX, MAGIC_BZD)
     resid = None
-    contour = None
     if all(p["residual_quantized"][0] in delta_magics for p in packed):
         resid = decompress_delta_batch([p["residual_quantized"] for p in packed])
-    if all(p["contour_map"][0] == MAGIC_BITS for p in packed):
-        contour = decompress_contour_batch([p["contour_map"] for p in packed])
-    return resid, contour
+    return resid, batch_decode_contours(packed)
+
+
+def batch_decode_contours(packed: Sequence[dict]):
+    """Contour half of :func:`batch_decode_big_fields` — one list entry per
+    frame when every frame's contour_map is a 'bits' container, else None
+    (the caller then dispatches each frame on its own magic).  This is THE
+    gate for which blobs batch-decode their contours: the engine's fused i8
+    path calls it directly so it can never disagree with the general path."""
+    cms = [p["contour_map"] for p in packed]
+    if cms and all(len(c) > 0 and c[0] == MAGIC_BITS for c in cms):
+        return decompress_contour_batch(cms)
+    return None
 
 
 # --------------------------------------------------- bz2-over-delta variant
@@ -703,6 +712,8 @@ def decompress_delta_batch(blobs: Sequence[bytes]) -> List[bytes]:
     steps beyond a frame's own T produce discarded symbols (rANS decoding is
     forward-causal, so earlier outputs are unaffected).
     """
+    if not blobs:
+        return []
     if any(b[0] in (MAGIC_BZD, MAGIC_BZ) for b in blobs):
         # 'Z' (bz2-over-delta) and 'B' (plain bz2 — the wide-escape route
         # for int32 streams whose deltas overflow u32) decode per frame.
@@ -736,24 +747,7 @@ def decompress_delta_batch(blobs: Sequence[bytes]) -> List[bytes]:
             for j, i in enumerate(ix):
                 out[i] = sub[j]
         return out
-    T_max = max(p[2] for p in parsed)
-    words = np.zeros((B, lanes, T_max), np.uint16)
-    counts = np.zeros((B, lanes), np.int32)
-    states = np.zeros((B, lanes), np.uint32)
-    for i, (_m, _l, T, n, q0, esc, freqs_i, st, cnt, packed, dt) in enumerate(parsed):
-        if packed.shape[0]:
-            lane_of = np.repeat(np.arange(lanes), cnt)
-            starts_i = np.concatenate([[0], np.cumsum(cnt)[:-1]])
-            pos = np.arange(packed.shape[0]) - np.repeat(starts_i, cnt)
-            words[i, lane_of, pos] = packed
-        counts[i] = cnt
-        states[i] = st
-    # Live-aware lanes: the encoders never code positions >= n, laid out
-    # with the frame's OWN T (mixed-T batches decode at T_max).
-    lives = np.zeros((B, lanes), np.int32)
-    for i, p in enumerate(parsed):
-        T_i, n_i = p[2], p[3]
-        lives[i] = np.clip(n_i - np.arange(lanes) * T_i, 0, T_i)
+    T_max, words, counts, states, lives = _assemble_delta_batch(parsed, lanes)
     nat = _native()
     if nat is not None:
         if magic == MAGIC_CTX:
@@ -825,13 +819,45 @@ def decompress_delta_batch(blobs: Sequence[bytes]) -> List[bytes]:
 def peek_delta_ns(blobs: Sequence[bytes]):
     """Stream lengths from the fixed container header, or None unless every
     frame is a rANS delta container ('D'/'C') — the cheap pre-check the
-    fused i8 decode path uses to size its output before parsing."""
+    fused i8 decode path uses to size its output before parsing.  An empty
+    batch returns None (there is nothing to size; both batch decoders would
+    otherwise index parsed[0] of an empty list)."""
+    if not blobs:
+        return None
     ns = []
     for b in blobs:
         if len(b) < 12 or b[0] not in (MAGIC_DELTA, MAGIC_CTX):
             return None
         ns.append(int(struct.unpack_from("<I", b, 4)[0]))
     return ns
+
+
+def _assemble_delta_batch(parsed, lanes):
+    """Scatter per-frame packed word lists into the (B, lanes, T_max) batch
+    layout the native/device decoders consume, plus per-lane live symbol
+    counts (the encoders lay frames out with their OWN T; mixed-T batches
+    decode at T_max).  Shared by :func:`decompress_delta_batch` and
+    :func:`decompress_delta_batch_i8` so the two decode paths can never
+    disagree on the wire layout."""
+    B = len(parsed)
+    T_max = max(p[2] for p in parsed)
+    words = np.zeros((B, lanes, T_max), np.uint16)
+    counts = np.zeros((B, lanes), np.int32)
+    states = np.zeros((B, lanes), np.uint32)
+    for i, (_m, _l, _T, _n, _q0, _esc, _f, st, cnt, packed, _dt) in enumerate(
+        parsed
+    ):
+        if packed.shape[0]:
+            lane_of = np.repeat(np.arange(lanes), cnt)
+            starts_i = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            pos = np.arange(packed.shape[0]) - np.repeat(starts_i, cnt)
+            words[i, lane_of, pos] = packed
+        counts[i] = cnt
+        states[i] = st
+    lives = np.zeros((B, lanes), np.int32)
+    for i, p in enumerate(parsed):
+        lives[i] = np.clip(p[3] - np.arange(lanes) * p[2], 0, p[2])
+    return T_max, words, counts, states, lives
 
 
 def decompress_delta_batch_i8(
@@ -852,6 +878,8 @@ def decompress_delta_batch_i8(
     nat = _native()
     if nat is None or not hasattr(nat, "delta_finalize_frames_i8"):
         return None
+    if not blobs:
+        return None
     if any(len(b) < 12 or b[0] not in (MAGIC_DELTA, MAGIC_CTX) for b in blobs):
         return None
     B = len(blobs)
@@ -864,21 +892,7 @@ def decompress_delta_batch_i8(
         return None
     if any(p[3] > out8.shape[1] for p in parsed):
         return None
-    T_max = max(p[2] for p in parsed)
-    words = np.zeros((B, lanes, T_max), np.uint16)
-    counts = np.zeros((B, lanes), np.int32)
-    states = np.zeros((B, lanes), np.uint32)
-    for i, (_m, _l, T, n, q0, esc, freqs_i, st, cnt, packed, dt) in enumerate(parsed):
-        if packed.shape[0]:
-            lane_of = np.repeat(np.arange(lanes), cnt)
-            starts_i = np.concatenate([[0], np.cumsum(cnt)[:-1]])
-            pos = np.arange(packed.shape[0]) - np.repeat(starts_i, cnt)
-            words[i, lane_of, pos] = packed
-        counts[i] = cnt
-        states[i] = st
-    lives = np.zeros((B, lanes), np.int32)
-    for i, p in enumerate(parsed):
-        lives[i] = np.clip(p[3] - np.arange(lanes) * p[2], 0, p[2])
+    T_max, words, counts, states, lives = _assemble_delta_batch(parsed, lanes)
     if magic == MAGIC_CTX:
         freqs = np.stack([p[6] for p in parsed])  # (B, C, A)
         mode = nat.MODE_ZIGZAG

@@ -799,11 +799,10 @@ class BatchEngine:
                 resid_bytes, contour_bytes = rans_codec.batch_decode_big_fields(
                     packed
                 )
-            elif all(c[0] == rans_codec.MAGIC_BITS for c in
-                     (p["contour_map"] for p in packed)):
-                contour_bytes = rans_codec.decompress_contour_batch(
-                    [p["contour_map"] for p in packed]
-                )
+            else:
+                # residuals already landed in the fused i8 view; the contour
+                # side rides the SAME shared gate as the general path.
+                contour_bytes = rans_codec.batch_decode_contours(packed)
 
         def one(i: int):
             skip = set()
@@ -835,9 +834,6 @@ class BatchEngine:
         # in-graph; the residual stream additionally rides the i8+exception
         # transfer view when every frame fits (mirror of the encode downlink).
         m_seq = _bucket(max((s.shape[0] for s in seqs if s is not None), default=1), hw)
-        m_stream = _bucket(
-            max((q.shape[0] for q in streams if q is not None), default=1), hw
-        )
         # u8 sequence uplink (half the bytes) whenever the model table fits
         # a byte AND every id in this (untrusted) batch is < 256 — corrupt
         # ids >= 256 keep the u16 view so the out-of-range decode rule
@@ -863,6 +859,9 @@ class BatchEngine:
         # Rebuild the i8+exception transfer view vectorized across the
         # batch (the per-frame loop here was a measurable host cost on the
         # 1-core rig).
+        m_stream = _bucket(
+            max((q.shape[0] for q in streams if q is not None), default=1), hw
+        )
         stream16 = np.zeros((b, m_stream), np.int16)
         for i, q in enumerate(streams):
             if q is not None:
