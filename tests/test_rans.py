@@ -88,6 +88,20 @@ def test_rans_tiny_and_empty():
     assert dec.shape[0] == 0
 
 
+def test_empty_batch_decoders():
+    """Empty blob batches return empty/None instead of indexing parsed[0]
+    (an engine decode_blobs([]) used to reach an IndexError through
+    peek_delta_ns([]) -> [] passing the 'is not None' gate)."""
+    from rpcc_tpu.codec import rans_codec as rc
+
+    assert rc.peek_delta_ns([]) is None
+    assert rc.decompress_delta_batch([]) == []
+    out8 = np.zeros((1, 8), np.int8)
+    exc_pos = np.full((1, 4), 8, np.int32)
+    exc_val = np.zeros((1, 4), np.int16)
+    assert rc.decompress_delta_batch_i8([], out8, exc_pos, exc_val) is None
+
+
 def test_native_and_jax_kernels_bit_identical():
     """The C++ rANS kernels must produce byte-identical containers to the
     jax kernels, and each must decode the other's output."""
