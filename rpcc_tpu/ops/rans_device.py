@@ -113,6 +113,32 @@ def rans_encode_scan(sym_rev, f_rev, c_rev, recip_rev, active_rev):
     return words, emits, states
 
 
+def recip_from_freq(f: jnp.ndarray) -> jnp.ndarray:
+    """floor(2^31 / max(f, 1)) for u32 f in [0, 2^14] — bit-identical to the
+    _RECIP_NP table, computed arithmetically so the per-position reciprocal
+    never rides the big position sort (f fits 15 bits and packs with cum
+    into one u32 payload; recip needs 31).  f32 seed division + exact i32
+    residue corrections make the result exact regardless of the backend's
+    f32 division rounding (pinned exhaustively in tests/test_rans.py).
+    """
+    f2 = jnp.maximum(f, 2).astype(jnp.uint32)
+    ff = f2.astype(jnp.float32)
+    e0 = (jnp.float32(2.0**31) / ff).astype(jnp.uint32)  # |err| <= ~128
+    r = (jnp.uint32(1 << 31) - e0 * f2).astype(jnp.int32)  # exact mod 2^32
+    f2i = f2.astype(jnp.int32)
+    d = jnp.floor(r.astype(jnp.float32) / ff).astype(jnp.int32)  # |err| <= 1
+    r2 = r - d * f2i
+    for _ in range(2):  # two fixes each way: covers >=2-ulp division error
+        over = r2 >= f2i
+        d = d + over.astype(jnp.int32)
+        r2 = r2 - jnp.where(over, f2i, 0)
+        neg = r2 < 0
+        d = d - neg.astype(jnp.int32)
+        r2 = r2 + jnp.where(neg, f2i, 0)
+    e = e0 + d.astype(jnp.uint32)
+    return jnp.where(f <= 1, jnp.uint32(1 << 31), e)
+
+
 def _expand_sorted_runs(vals_by_key: jnp.ndarray, bounds: jnp.ndarray, n: int):
     """(K,) per-key values + (K+1,) run boundaries -> (n,) expanded, via the
     codec's telescoping-diff scatter + cumsum (K scatters, no gathers)."""
@@ -161,8 +187,29 @@ def encode_field_device(sym3d: jnp.ndarray, ctx3d: jnp.ndarray, alphabet: int,
     else:
         iota = jnp.arange(n, dtype=jnp.int32)
         key_s, pos_s = jax.lax.sort((key_h, iota), num_keys=1, is_stable=True)
-        bounds = jnp.searchsorted(key_s, jnp.arange(K + 2, dtype=jnp.int32))
-        counts_h = (bounds[1:-1] - bounds[:-2]).astype(jnp.int32)
+        # Histogram by chunked compare-reduce, NOT searchsorted: the queries
+        # are arange(K+2), so the bounds are just prefix sums of the key
+        # histogram.  searchsorted's binary-search lowering is a 17-round
+        # serialized-gather while loop (0.67 ms/frame — 24% of the m8
+        # encode graph) and method='sort' costs two more 128k-element sorts
+        # plus a rank-extraction fusion (~1.08 ms/frame, measured) — the
+        # dense compare-reduce is pure VPU work with no gathers (~0.1 ms).
+        # Dead positions carry key K and never match a bin in [0, K).
+        counts_h = jnp.concatenate([
+            (key_h[:, None] == jnp.arange(c0, c0 + 128, dtype=key_h.dtype))
+            .sum(0, dtype=jnp.int32)
+            for c0 in range(0, K, 128)
+        ]) if K % 128 == 0 else None
+        if counts_h is None:  # ragged alphabet: single padded chunk set
+            kp = -(-K // 128) * 128
+            counts_h = jnp.concatenate([
+                (key_h[:, None] == jnp.arange(c0, c0 + 128, dtype=key_h.dtype))
+                .sum(0, dtype=jnp.int32)
+                for c0 in range(0, kp, 128)
+            ])[:K]
+        bounds = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_h)]
+        )  # (K+1,): run starts for bins 0..K-1 plus n_live (dead-run start)
     freqs = jax.vmap(normalize_freqs)(counts_h.reshape(num_ctx, alphabet))
     freqs_flat = freqs.reshape(-1)
     cums2 = jnp.concatenate(
@@ -185,14 +232,17 @@ def encode_field_device(sym3d: jnp.ndarray, ctx3d: jnp.ndarray, alphabet: int,
     else:
         # expand per-key table values over the shared sorted runs, then
         # sort back by position (dead tail gets the last bin's value —
-        # masked out of the scan anyway)
-        f_s = _expand_sorted_runs(freqs_flat, bounds[: K + 1], n)
-        c_s = _expand_sorted_runs(cums_flat, bounds[: K + 1], n)
-        r_s = _expand_sorted_runs(recip_flat, bounds[: K + 1], n)
-        _, f_o, c_o, r_o = jax.lax.sort((pos_s, f_s, c_s, r_s), num_keys=1)
-        f_all = f_o.astype(jnp.uint32).reshape(L, T)
-        c_all = c_o.astype(jnp.uint32).reshape(L, T)
-        r_all = r_o.astype(jnp.uint32).reshape(L, T)
+        # masked out of the scan anyway).  freq (<= 2^14, 15 bits) and cum
+        # (< 2^14) pack into ONE i32 payload so the position sort carries 2
+        # arrays instead of 4; the 31-bit reciprocal is recomputed from
+        # freq after the sort (recip_from_freq, bit-identical to the table).
+        fc_flat = freqs_flat * (1 << 15) + cums_flat  # < 2^30: i32-safe
+        fc_s = _expand_sorted_runs(fc_flat, bounds[: K + 1], n)
+        _, fc_o = jax.lax.sort((pos_s, fc_s), num_keys=1)
+        fc_all = fc_o.astype(jnp.uint32).reshape(L, T)
+        f_all = fc_all >> 15
+        c_all = fc_all & jnp.uint32((1 << 15) - 1)
+        r_all = recip_from_freq(f_all)
 
     # Renorm walk in reverse symbol order (live-aware).
     rev = slice(None, None, -1)

@@ -378,3 +378,20 @@ def test_corrupt_lane_count_raises():
     struct.pack_into("<B", buf, 1, 16)  # log_lanes := 16 -> 65536 lanes
     with pytest.raises(ValueError, match="corrupt delta container: lanes"):
         rc.decompress_delta_batch([bytes(buf)])
+
+
+def test_recip_from_freq_exhaustive():
+    """recip_from_freq must reproduce the _RECIP_NP table bit-for-bit over
+    the ENTIRE frequency domain [0, 2^14] — it replaced carrying the 31-bit
+    reciprocal through the device coder's position sort (the f32-seeded
+    division is backend-dependent; the i32 residue corrections make the
+    floor exact everywhere or nowhere, so the exhaustive sweep is cheap
+    and decisive)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rpcc_tpu.ops.rans_device import _RECIP_NP, recip_from_freq
+
+    f = jnp.arange(_RECIP_NP.size, dtype=jnp.uint32)  # 0..16384 inclusive
+    got = np.asarray(jax.jit(recip_from_freq)(f))
+    np.testing.assert_array_equal(got, _RECIP_NP)
